@@ -1,0 +1,142 @@
+"""Event detection: batched JAX pipeline vs the scalar numpy spec."""
+
+import numpy as np
+import pytest
+
+from sigmap_tpu.config import EventDetectorConfig
+from sigmap_tpu.signal import events_ref
+from sigmap_tpu.signal.events import batch_generate_events
+from sigmap_tpu.synth import random_genome, simulate_reads
+
+
+def _signals(pore6, n=6, bases=400, seed=11):
+    genome = random_genome(30_000, seed=4)
+    reads = simulate_reads(pore6, genome, n, seed=seed, read_bases=bases)
+    from sigmap_tpu.io.signals import dac_to_pa
+
+    return [
+        dac_to_pa(r.raw, r.digitisation, r.range, r.offset) for r in reads
+    ]
+
+
+def test_tstat_matches_f64_truth(pore6):
+    """Device t-stat must track the float64 exact formula tightly; the
+    fp32-prefix-sum reference (events_ref/C++) is itself noisy at event
+    boundaries, so it is only compared loosely."""
+    sig = _signals(pore6, n=1)[0][:2000]
+    L = len(sig)
+    w = 3
+    x = sig.astype(np.float64)
+    truth = np.zeros(L)
+    for i in range(w, L - w + 1):
+        a = x[i - w : i]
+        b = x[i : i + w]
+        var = (a * a).mean() - a.mean() ** 2 + (b * b).mean() - b.mean() ** 2
+        var = max(var, 1e-38)
+        if i < L:
+            truth[i] = abs(b.mean() - a.mean()) / np.sqrt(var / w)
+
+    import jax.numpy as jnp
+    from sigmap_tpu.signal.events import batch_tstat
+
+    tj = np.asarray(
+        batch_tstat(jnp.asarray(sig[None, :]), jnp.asarray([L]), w)
+    )[0]
+    np.testing.assert_allclose(tj[:L], truth[:L], rtol=1e-3, atol=1e-3)
+
+    ps, pss = events_ref.prefix_sums(sig)
+    t_ref = events_ref.tstat(ps, pss, L, w)
+    # loose agreement with the noisy fp32-prefix-sum formulation; its
+    # variance error grows with position (ulp(pss) ~ position), so a few
+    # percent of low-variance positions disagree wildly with f64 truth
+    close = np.isclose(tj[:L], t_ref[:L], rtol=0.5, atol=0.5)
+    assert close.mean() > 0.95
+
+
+@pytest.mark.parametrize("preset", ["dna", "rna"])
+def test_batch_events_match_ref(pore6, preset):
+    cfg = getattr(EventDetectorConfig, preset)()
+    sigs = _signals(pore6, n=6)
+    C = 4000
+    B = len(sigs)
+    chunks = np.zeros((B, C), np.float32)
+    lengths = np.zeros(B, np.int32)
+    for i, s in enumerate(sigs):
+        s = s[:C]
+        chunks[i, : len(s)] = s
+        lengths[i] = len(s)
+
+    feats, fstdvs, counts, nevents = batch_generate_events(
+        chunks, lengths, cfg=cfg
+    )
+    feats, fstdvs = np.asarray(feats), np.asarray(fstdvs)
+    counts = np.asarray(counts)
+
+    # exact agreement with the numpy twin that uses the same (stable)
+    # t-stat formulation
+    for i, s in enumerate(sigs):
+        f_ref, s_ref = events_ref.generate_events(
+            s[:C], cfg, accurate_tstat=True
+        )
+        assert len(f_ref) == counts[i], f"read {i}: {len(f_ref)} vs {counts[i]}"
+        np.testing.assert_allclose(
+            feats[i, : counts[i]], f_ref, atol=5e-3, err_msg=f"read {i}"
+        )
+        np.testing.assert_allclose(fstdvs[i, : counts[i]], s_ref, atol=5e-2)
+
+
+def test_peaks_close_to_cpp_formulation(pore6):
+    """The stable t-stat changes peak decisions only where the C++'s own
+    rounding noise makes them marginal: peak sets must largely agree."""
+    cfg = EventDetectorConfig()
+    sig = _signals(pore6, n=1)[0][:4000]
+    L = len(sig)
+    ps, pss = events_ref.prefix_sums(sig)
+    p_cpp = set(
+        events_ref.detect_peaks(
+            events_ref.tstat(ps, pss, L, cfg.window_length1),
+            events_ref.tstat(ps, pss, L, cfg.window_length2),
+            L, cfg,
+        )
+    )
+    p_acc = set(
+        events_ref.detect_peaks(
+            events_ref.tstat_centered(sig, L, cfg.window_length1),
+            events_ref.tstat_centered(sig, L, cfg.window_length2),
+            L, cfg,
+        )
+    )
+    jacc = len(p_cpp & p_acc) / max(1, len(p_cpp | p_acc))
+    # Measured ~0.76: the reference's prefix-sum rounding (ulp(pss) grows to
+    # ~2-16 by sample 4000, against window variances of ~3) makes ~quarter of
+    # its own late-chunk peak decisions noise-driven.  Event-level bit parity
+    # with the C++ is therefore impossible for *any* reimplementation that
+    # does not replicate exact sequential fp32 cumsum; equivalence with the
+    # reference is asserted at mapping level instead (same locus/strand).
+    assert jacc > 0.6, f"peak Jaccard {jacc}"
+
+
+def test_short_and_degenerate_inputs():
+    # constant signal -> no peaks -> single event -> 1 feature after zscore
+    sig = np.full(100, 80.0, np.float32)
+    feats, _, counts, nevents = batch_generate_events(
+        sig[None, :], np.array([100], np.int32)
+    )
+    assert int(nevents[0]) == 1
+    # L < 2w -> tstat all zero -> no peaks
+    sig2 = np.random.default_rng(0).normal(80, 5, 8).astype(np.float32)
+    _, _, c2, ne2 = batch_generate_events(
+        np.pad(sig2, (0, 92))[None, :], np.array([8], np.int32)
+    )
+    assert int(ne2[0]) == 1
+
+
+def test_compression_semantics():
+    from sigmap_tpu.signal.events_ref import compress_features
+
+    x = np.array([0.0, 0.05, 0.2, 0.25, 0.45, 0.44], np.float32)
+    s = np.arange(6).astype(np.float32)
+    vals, stds = compress_features(x, s, 0.1)
+    # keep 0.0 (first), 0.2 (|0.2-0|>0.1), 0.45 (|0.45-0.2|>0.1)
+    np.testing.assert_allclose(vals, [0.0, 0.2, 0.45])
+    np.testing.assert_allclose(stds, [0.0, 2.0, 4.0])
