@@ -49,10 +49,10 @@ class IndexConfig:
     mask_frequency: float = 0.0002   # high-freq k-mer mask (sigmap.cc:1014)
     dedup_delta: float = 0.01   # consecutive-point dedup (spatial_index.cc:46)
     # TPU search-structure knobs (no reference equivalent: replaces nanoflann)
-    bucket_dims: int = 4        # leading window dims used for grid bucketing
-    # cell width per bucketed dim, in units of sqrt(search_radius); must be
-    # >= 2.0 for the 2-cells-per-dim exact covering to hold.
-    cell_width_factor: float = 2.0
+    bucket_dims: int = 6        # leading window dims used for grid bucketing
+    # cell width per bucketed dim, in units of sqrt(search_radius); smaller
+    # cells = fewer candidates but more probes (3 cells/dim at 1.0, 2 at 2.0)
+    cell_width_factor: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -108,9 +108,11 @@ class RuntimeConfig:
     read_batch: int = 128         # reads mapped concurrently per device step
     max_events: int = 1024        # event slots per 4000-sample chunk
     max_features: int = 1024      # compressed feature slots per chunk
-    max_seeds: int = 512          # seed queries per chunk
-    seed_candidate_cap: int = 4096  # gathered candidates per seed query
-    max_anchors: int = 8192       # compacted anchors per chunk
+    # radius-search tiling (see mapping/seeding.py)
+    seeds_per_tile: int = 64
+    cap_per_seed: int = 32768     # candidate budget per seed
+    surv_per_tile: int = 262144   # stage-2 survivors per tile
+    matches_per_tile: int = 32768
     use_native_chainer: bool = True
     interpret_pallas: bool = False  # pallas interpreter mode (CPU testing)
 
