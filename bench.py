@@ -1,0 +1,187 @@
+#!/usr/bin/env python
+"""Benchmark harness: streaming mapping throughput + DTW cell-updates/s.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "details": {...}}
+
+The baseline is this repo's own native CPU engine (exact-semantics C++
+event detection + k-d tree radius search + chaining DP — the same
+algorithmic profile as 4-thread CPU Sigmap), run on the same synthetic
+workload with a thread pool.  All timings force host materialization
+(np.asarray) because block_until_ready does not block on the axon tunnel.
+
+Usage: python bench.py [--smoke] [--genome-mb F] [--reads N] [--batch B]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_workload(genome_mb: float, n_reads: int, read_bases: int, seed=1):
+    from sigmap_tpu.config import SigmapConfig
+    from sigmap_tpu.index.build import build_index
+    from sigmap_tpu.io.fasta import ReferenceSequence
+    from sigmap_tpu.io.pore_model import make_synthetic_pore_model
+    from sigmap_tpu.io.signals import ReadSignal, dac_to_pa
+    from sigmap_tpu.synth import random_genome, simulate_reads
+
+    cfg = SigmapConfig()
+    pore = make_synthetic_pore_model(k=6, seed=0)
+    genome = random_genome(int(genome_mb * 1e6), seed=seed)
+    seqs = [ReferenceSequence(n, c) for n, c in genome]
+    t0 = time.perf_counter()
+    idx = build_index(seqs, pore, cfg.index, cfg.mapping.search_radius,
+                      verbose=False)
+    t_index = time.perf_counter() - t0
+    log(f"index: {idx.n_points} points in {t_index:.1f}s")
+    reads = simulate_reads(pore, genome, n_reads, seed=seed + 1,
+                           read_bases=read_bases)
+    signals = [
+        ReadSignal(r.read_id, r.digitisation, r.range, r.offset,
+                   dac_to_pa(r.raw, r.digitisation, r.range, r.offset))
+        for r in reads
+    ]
+    return cfg, idx, reads, signals, t_index
+
+
+def accuracy(records, reads):
+    by_name = {rec.read_name: rec for rec in records}
+    mapped = correct = 0
+    for r in reads:
+        rec = by_name.get(r.read_id)
+        if rec is None or not rec.is_mapped:
+            continue
+        mapped += 1
+        lo, hi = rec.fragment_start, rec.fragment_start + rec.fragment_length
+        if rec.direction == r.strand and lo < r.ref_end and hi > r.ref_start:
+            correct += 1
+    return mapped, correct
+
+
+def bench_tpu(cfg, idx, signals, batch):
+    import dataclasses
+
+    from sigmap_tpu.mapping.driver import Mapper
+
+    cfg = dataclasses.replace(
+        cfg, runtime=dataclasses.replace(cfg.runtime, read_batch=batch)
+    )
+    mapper = Mapper(idx, cfg)
+    log("tpu: warmup (compile)...")
+    t0 = time.perf_counter()
+    mapper.streaming_map(signals[: min(8, len(signals))])
+    log(f"tpu: warmup {time.perf_counter()-t0:.1f}s")
+    t0 = time.perf_counter()
+    records = mapper.streaming_map(signals)
+    dt = time.perf_counter() - t0
+    return records, len(signals) / dt, dt
+
+
+def bench_cpu_baseline(cfg, idx, signals, threads=4, cap_reads=32):
+    """Native CPU engine (exact semantics) with a thread pool."""
+    from sigmap_tpu.oracle import Oracle
+
+    oracle = Oracle(idx, cfg)
+    subset = signals[:cap_reads]
+    # warm the native lib
+    oracle.streaming_read(subset[0].pa)
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(threads) as ex:
+        list(ex.map(lambda s: oracle.streaming_read(s.pa), subset))
+    dt = time.perf_counter() - t0
+    return len(subset) / dt, dt
+
+
+def bench_dtw(B=16, T=2048, Q=512):
+    import jax
+
+    from sigmap_tpu.ops.sdtw import sdtw_batch
+
+    rng = np.random.default_rng(0)
+    ts = rng.normal(0, 1, (B, T)).astype(np.float32)
+    qs = rng.normal(0, 1, (B, Q)).astype(np.float32)
+    tl = np.full(B, T, np.int32)
+    ql = np.full(B, Q, np.int32)
+    out = sdtw_batch(ts, tl, qs, ql)
+    _ = tuple(np.asarray(o) for o in out)
+    reps = 3
+    t0 = time.perf_counter()
+    for i in range(reps):
+        out = sdtw_batch(ts + np.float32(i * 1e-6), tl, qs, ql)
+        _ = tuple(np.asarray(o) for o in out)
+    dt = (time.perf_counter() - t0) / reps
+    return B * T * Q / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--genome-mb", type=float, default=None)
+    ap.add_argument("--reads", type=int, default=None)
+    ap.add_argument("--read-bases", type=int, default=3000)
+    ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--baseline-threads", type=int, default=4)
+    args = ap.parse_args()
+    if args.smoke:
+        genome_mb = args.genome_mb or 0.5
+        n_reads = args.reads or 16
+        batch = args.batch or 16
+    else:
+        genome_mb = args.genome_mb or 2.0
+        n_reads = args.reads or 64
+        batch = args.batch or 64
+
+    cfg, idx, reads, signals, t_index = build_workload(
+        genome_mb, n_reads, args.read_bases
+    )
+
+    records, tpu_rps, tpu_dt = bench_tpu(cfg, idx, signals, batch)
+    mapped, correct = accuracy(records, reads)
+    log(f"tpu: {tpu_rps:.2f} reads/s ({tpu_dt:.1f}s), "
+        f"mapped {mapped}/{len(reads)}, correct {correct}/{max(1,mapped)}")
+
+    cpu_rps, cpu_dt = bench_cpu_baseline(
+        cfg, idx, signals, threads=args.baseline_threads,
+        cap_reads=min(32, n_reads),
+    )
+    log(f"cpu baseline ({args.baseline_threads} threads): {cpu_rps:.2f} reads/s")
+
+    try:
+        dtw_cups = bench_dtw()
+        log(f"dtw: {dtw_cups/1e6:.1f}M cell-updates/s")
+    except Exception as e:  # noqa: BLE001
+        log(f"dtw bench failed: {e}")
+        dtw_cups = 0.0
+
+    print(json.dumps({
+        "metric": "reads_per_s_streaming",
+        "value": round(tpu_rps, 3),
+        "unit": "reads/s",
+        "vs_baseline": round(tpu_rps / cpu_rps, 3) if cpu_rps else None,
+        "details": {
+            "genome_mb": genome_mb,
+            "n_reads": n_reads,
+            "read_batch": batch,
+            "mapped": mapped,
+            "correct": correct,
+            "cpu_baseline_reads_per_s": round(cpu_rps, 3),
+            "baseline_threads": args.baseline_threads,
+            "dtw_cell_updates_per_s": round(dtw_cups, 0),
+            "index_build_s": round(t_index, 1),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

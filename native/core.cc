@@ -273,4 +273,146 @@ void sig_chain_scores(const int32_t* target_pos, const int32_t* query_pos,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Event detection -> compressed feature signal for one chunk.
+// Same algorithm as signal/events_ref.py accurate mode: two-window Welch
+// t-stats with *centered* variance (stable twin of event.h:70-115), the
+// dual-detector peak state machine (event.h:117-182), CreateEvents
+// boundaries [0, p_0..p_{n-2}, L] (event.h:200-224), float64 z-score
+// (sigmap.cc:1131-1155), delta run-collapse (sigmap.cc:1072-1079).
+// ---------------------------------------------------------------------------
+
+struct EdParams {
+  int32_t w1, w2;
+  float thresh1, thresh2, peak_height;
+};
+
+static void tstat_centered(const float* x, int64_t n, int32_t w, float* out) {
+  for (int64_t i = 0; i < n; ++i) out[i] = 0.0f;
+  if (n < 2 * w || w < 2) return;
+  for (int64_t i = w; i <= n - w; ++i) {
+    float s1 = 0, s2 = 0;
+    for (int32_t k = 0; k < w; ++k) {
+      s1 += x[i - w + k];
+      s2 += x[i + k];
+    }
+    float m1 = s1 / w, m2 = s2 / w;
+    float v = 0;
+    for (int32_t k = 0; k < w; ++k) {
+      float d1 = x[i - w + k] - m1, d2 = x[i + k] - m2;
+      v += d1 * d1 + d2 * d2;
+    }
+    v /= w;
+    if (v < 1.17549435e-38f) v = 1.17549435e-38f;
+    if (i < n) out[i] = std::fabs(m2 - m1) / std::sqrt(v / w);
+  }
+}
+
+struct Det {
+  float threshold;
+  int32_t wl;
+  int64_t masked_to = 0;
+  int64_t peak_pos = -1;
+  float peak_value = 3.4028235e38f;
+  bool valid = false;
+};
+
+static int64_t detect_peaks(const float* t1, const float* t2, int64_t n,
+                            const EdParams& p, int64_t* peaks) {
+  Det dets[2] = {{p.thresh1, p.w1}, {p.thresh2, p.w2}};
+  const float* ts[2] = {t1, t2};
+  int64_t m = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    for (int k = 0; k < 2; ++k) {
+      Det& d = dets[k];
+      if (d.masked_to >= i) continue;
+      float v = ts[k][i];
+      if (d.peak_pos == -1) {
+        if (v < d.peak_value) {
+          d.peak_value = v;
+        } else if (v - d.peak_value > p.peak_height) {
+          d.peak_value = v;
+          d.peak_pos = i;
+        }
+      } else {
+        if (v > d.peak_value) {
+          d.peak_value = v;
+          d.peak_pos = i;
+        }
+        if (k == 0 && d.peak_value > d.threshold) {
+          dets[1].masked_to = d.peak_pos + d.wl;
+          dets[1].peak_pos = -1;
+          dets[1].peak_value = 3.4028235e38f;
+          dets[1].valid = false;
+        }
+        if (d.peak_value - v > p.peak_height && d.peak_value > d.threshold) {
+          d.valid = true;
+        }
+        if (d.valid && (i - d.peak_pos) > d.wl / 2) {
+          peaks[m++] = d.peak_pos;
+          d.peak_pos = -1;
+          d.peak_value = v;
+          d.valid = false;
+        }
+      }
+    }
+  }
+  return m;
+}
+
+int64_t sig_features(const float* sig, int64_t n, int32_t w1, int32_t w2,
+                     float thresh1, float thresh2, float peak_height,
+                     float compress_delta, float* out_feats, float* out_stdvs,
+                     int64_t cap) {
+  if (n <= 0) return 0;
+  EdParams p{w1, w2, thresh1, thresh2, peak_height};
+  std::vector<float> t1(n), t2(n);
+  tstat_centered(sig, n, w1, t1.data());
+  tstat_centered(sig, n, w2, t2.data());
+  std::vector<int64_t> peaks(n);
+  int64_t np = detect_peaks(t1.data(), t2.data(), n, p, peaks.data());
+  // boundaries [0, p_0..p_{n-2}, L]; degenerate cases as events_ref.py
+  std::vector<int64_t> bounds;
+  bounds.push_back(0);
+  if (np == 1) bounds.push_back(peaks[0]);
+  for (int64_t i = 0; i + 1 < np; ++i) bounds.push_back(peaks[i]);
+  bounds.push_back(n);
+  int64_t ne = (int64_t)bounds.size() - 1;
+  std::vector<float> means(ne), stdvs(ne);
+  for (int64_t e = 0; e < ne; ++e) {
+    int64_t a = bounds[e], b = bounds[e + 1];
+    float s = 0, sq = 0;
+    for (int64_t i = a; i < b; ++i) {
+      s += sig[i];
+      sq += sig[i] * sig[i];
+    }
+    float len = (float)(b - a);
+    means[e] = s / len;
+    float var = sq / len - means[e] * means[e];
+    stdvs[e] = std::sqrt(var > 0 ? var : 0.0f);
+  }
+  // float64 z-score (population mean, n-1 variance)
+  double mean = 0;
+  for (int64_t e = 0; e < ne; ++e) mean += means[e];
+  mean /= ne;
+  double sd = 0;
+  for (int64_t e = 0; e < ne; ++e) {
+    sd += (means[e] - mean) * (means[e] - mean);
+  }
+  sd = std::sqrt(sd / (ne > 1 ? ne - 1 : 1));
+  // delta run-collapse
+  int64_t m = 0;
+  float last = 0;
+  for (int64_t e = 0; e < ne && m < cap; ++e) {
+    float z = (float)((means[e] - mean) / sd);
+    if (e == 0 || std::fabs(z - last) > compress_delta) {
+      out_feats[m] = z;
+      out_stdvs[m] = stdvs[e];
+      last = z;
+      ++m;
+    }
+  }
+  return m;
+}
+
 }  // extern "C"

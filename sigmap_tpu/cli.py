@@ -1,0 +1,154 @@
+"""Command-line interface, flag-compatible with the reference sigmap binary.
+
+Reference: SigmapDriver::ParseArgsAndRun (sigmap.cc:1329-1519).
+
+  index:  python -m sigmap_tpu.cli -i -r ref.fa -p pore.model -o out_prefix
+  map:    python -m sigmap_tpu.cli -m -r ref.fa -p pore.model -x out_prefix \
+              -s signal_dir -o out.paf [-t N] [--step-size 2] ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="sigmap-tpu", description="Map ONT raw signal data (TPU-native)"
+    )
+    ap.add_argument("-i", "--build-index", action="store_true",
+                    help="Build spatial index for reference")
+    ap.add_argument("-m", "--map", action="store_true", help="Map signal data")
+    ap.add_argument("-d", "--dimension", type=int, default=6,
+                    help="Dimension of spatial index [6]")
+    ap.add_argument("-l", "--max-leaf", type=int, default=20,
+                    help="Max leaf of spatial index [20] (kept for .pt parity)")
+    ap.add_argument("--step-size", type=int, default=2,
+                    help="Seeding step size in reads [2]")
+    ap.add_argument("-t", "--num-threads", type=int, default=1,
+                    help="# threads for host-side work [1]")
+    ap.add_argument("-r", "--ref", type=str, help="Reference file")
+    ap.add_argument("-p", "--pore-model", type=str, help="Pore model file")
+    ap.add_argument("-x", "--ref-index", type=str, help="Reference index file")
+    ap.add_argument("-s", "--sig-dir", type=str, help="Signal data directory")
+    ap.add_argument("-o", "--output", type=str, help="Output file")
+    ap.add_argument("--search-radius", type=float, default=0.08,
+                    help="Search radius for each seed [0.08]")
+    ap.add_argument("--max-num-chunks", type=int, default=30,
+                    help="Max # chunks before stop trying to map a read [30]")
+    ap.add_argument("--min-num-anchors", type=int, default=10,
+                    help="Min # anchors to stop mapping [10]")
+    ap.add_argument("--min-num-anchors-output", type=int, default=10,
+                    help="Min # anchors to output mappings [10]")
+    ap.add_argument("--stop-mapping", type=float, default=1.4,
+                    help="Best/second-best score ratio to stop mapping [1.4]")
+    ap.add_argument("--stop-mapping-output", type=float, default=1.2,
+                    help="Best/second-best score ratio to output mappings [1.2]")
+    ap.add_argument("--stop-mapping-mean", type=float, default=5.0,
+                    help="Best/mean score ratio to stop mapping [5]")
+    ap.add_argument("--stop-mapping-mean-output", type=float, default=5.0,
+                    help="Best/mean score ratio to output mappings [5]")
+    ap.add_argument("--batch-mode", action="store_true",
+                    help="Whole-read (non-streaming) mapping, like Sigmap::Map")
+    ap.add_argument("--read-batch", type=int, default=128,
+                    help="Reads mapped concurrently on device [128]")
+    return ap
+
+
+def make_config(args) -> "SigmapConfig":
+    from .config import (
+        IndexConfig, MappingConfig, RuntimeConfig, SigmapConfig,
+    )
+
+    return SigmapConfig(
+        index=IndexConfig(dimension=args.dimension, max_leaf=args.max_leaf),
+        mapping=MappingConfig(
+            search_radius=args.search_radius, step_size=args.step_size,
+            max_num_chunks=args.max_num_chunks,
+            stop_mapping_min_num_anchors=args.min_num_anchors,
+            output_mapping_min_num_anchors=args.min_num_anchors_output,
+            stop_mapping_ratio=args.stop_mapping,
+            output_mapping_ratio=args.stop_mapping_output,
+            stop_mapping_mean_ratio=args.stop_mapping_mean,
+            output_mapping_mean_ratio=args.stop_mapping_mean_output,
+        ),
+        runtime=RuntimeConfig(read_batch=args.read_batch),
+    )
+
+
+def run_index(args) -> int:
+    from .index.build import build_index
+    from .io.fasta import read_fasta
+    from .io.pore_model import PoreModel
+
+    for flag, name in ((args.ref, "reference"), (args.pore_model, "pore model"),
+                       (args.output, "output")):
+        if not flag:
+            print(f"No {name} file specified!", file=sys.stderr)
+            return 1
+    cfg = make_config(args)
+    pore = PoreModel.load(args.pore_model)
+    seqs = read_fasta(args.ref)
+    t0 = time.time()
+    idx = build_index(seqs, pore, cfg.index, cfg.mapping.search_radius)
+    idx.save(args.output)
+    idx.save_pt(args.output + ".pt")
+    print(
+        f"Built index successfully in {time.time()-t0:.1f}s.", file=sys.stderr
+    )
+    return 0
+
+
+def run_map(args) -> int:
+    from .index.build import SignalIndex
+    from .io.paf import PAFWriter
+    from .io.signals import load_all_read_signals
+    from .mapping.driver import Mapper
+
+    for flag, name in (
+        (args.ref, "reference"), (args.pore_model, "pore model"),
+        (args.ref_index, "reference index"), (args.sig_dir, "signal data"),
+        (args.output, "output"),
+    ):
+        if not flag:
+            print(f"No {name} specified!", file=sys.stderr)
+            return 1
+    cfg = make_config(args)
+    t0 = time.time()
+    idx = SignalIndex.load(args.ref_index)
+    signals = load_all_read_signals(
+        args.sig_dir, cfg.mapping.pa_lo, cfg.mapping.pa_hi
+    )
+    print(f"Loaded {len(signals)} reads.", file=sys.stderr)
+    mapper = Mapper(idx, cfg)
+    if args.batch_mode:
+        records = mapper.map_reads(signals)
+    else:
+        records = mapper.streaming_map(signals)
+    writer = PAFWriter(args.output, idx.ref_names, idx.ref_lengths)
+    for rec in records:
+        writer.append(rec)
+    n = writer.finalize()
+    print(
+        f"Finished mapping in {time.time()-t0:.1f}s, "
+        f"# reads: {len(signals)}, # records: {n}",
+        file=sys.stderr,
+    )
+    return 0
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.build_index:
+        return run_index(args)
+    if args.map:
+        return run_map(args)
+    build_parser().print_help(sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

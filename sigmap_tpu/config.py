@@ -113,6 +113,7 @@ class RuntimeConfig:
     cap_per_seed: int = 32768     # candidate budget per seed
     surv_per_tile: int = 262144   # stage-2 survivors per tile
     matches_per_tile: int = 32768
+    autotune_search: bool = True  # size candidate budgets from the index
     use_native_chainer: bool = True
     interpret_pallas: bool = False  # pallas interpreter mode (CPU testing)
 

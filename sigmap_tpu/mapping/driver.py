@@ -65,6 +65,13 @@ class Mapper:
             surv_per_tile=rt.surv_per_tile,
             matches_per_tile=rt.matches_per_tile,
         )
+        if rt.autotune_search:
+            import dataclasses as _dc
+
+            from .seeding import autotune_params
+
+            tuned = autotune_params(self.dev, max_cap=rt.cap_per_seed)
+            self.dev = _dc.replace(self.dev, params=tuned)
         if index.win_group is None:
             index.derive_window_metadata()
         self.num_refs = len(index.ref_names)

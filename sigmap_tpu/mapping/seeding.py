@@ -238,7 +238,10 @@ def search_flat(dev: DeviceIndex, seeds: jax.Array, seeds_valid: jax.Array,
                 n_tiles: int):
     """Radius search over a flat, padded seed array [n_tiles*Qt, 8].
 
-    Returns per-tile stacked outputs; use flatten_matches() to decode.
+    Returns (sid [M], widx [M], dist [M], total, n_cand, ovf) with matches
+    compacted ON DEVICE to the front of flat arrays — the host should
+    transfer only [:total] (the axon tunnel moves ~30 MB/s, so shipping the
+    padded per-tile buffers dominates everything else).
     """
     p = dev.params
     qt = p.seeds_per_tile
@@ -247,29 +250,73 @@ def search_flat(dev: DeviceIndex, seeds: jax.Array, seeds_valid: jax.Array,
 
     def one(args):
         q, v = args
-        m_sid, m_widx, m_dist, nm, nc, ovf = search_tile(dev, q, v)
-        return m_sid, m_widx, m_dist, nm, nc, ovf
+        return search_tile(dev, q, v)
 
-    return jax.lax.map(one, (seeds, valid))
+    m_sid, m_widx, m_dist, nm, nc, ovf = jax.lax.map(one, (seeds, valid))
+    M = p.matches_per_tile
+    gsid = (
+        m_sid + jnp.arange(n_tiles, dtype=jnp.int32)[:, None] * qt
+    ).reshape(-1)
+    mask = (jnp.arange(M)[None, :] < nm[:, None]).reshape(-1)
+    (f_sid, f_widx, f_dist), total = _compact(
+        (gsid, m_widx.reshape(-1), m_dist.reshape(-1)), mask, n_tiles * M
+    )
+    return f_sid, f_widx, f_dist, total, nc.sum(), ovf.any(axis=0)
 
 
-def flatten_matches(tile_out, params: SearchParams):
-    """Host-side: stacked tile outputs -> (seed_id, window_idx, dist) arrays.
+def flatten_matches(out, params: SearchParams):
+    """Host-side decode: transfer only the live match prefix."""
+    f_sid, f_widx, f_dist, total, nc, ovf = out
+    k = int(total)
+    # power-of-two transfer size to bound eager-slice recompiles
+    kb = min(f_sid.shape[0], 1 << max(k - 1, 0).bit_length()) if k else 1
+    sids = np.asarray(jax.lax.slice_in_dim(f_sid, 0, kb))[:k]
+    widx = np.asarray(jax.lax.slice_in_dim(f_widx, 0, kb))[:k]
+    dist = np.asarray(jax.lax.slice_in_dim(f_dist, 0, kb))[:k]
+    return sids, widx, dist, int(nc), np.asarray(ovf)
 
-    seed_id is the global flat seed index (tile * seeds_per_tile + local).
+
+@jax.jit
+def seed_candidate_counts(dev: DeviceIndex, seeds: jax.Array,
+                          valid: jax.Array):
+    """Per-seed candidate totals from the probe pass only (cheap)."""
+    starts, lens = _probe_ranges(dev, seeds, valid)
+    return lens.sum(axis=1)
+
+
+def autotune_params(dev: DeviceIndex, n_sample: int = 512,
+                    noise: float = 0.12, seed: int = 0,
+                    max_cap: int = 65536) -> SearchParams:
+    """Size the per-seed candidate budget from the index itself.
+
+    Sample queries = index windows + event-level noise (what real seed
+    windows look like); cap_per_seed = ~p99 of their probe candidate
+    totals, so tile slot work tracks the actual workload instead of a
+    worst-case constant.
     """
-    m_sid, m_widx, m_dist, nm, nc, ovf = map(np.asarray, tile_out)
-    rows = []
-    for t in range(m_sid.shape[0]):
-        k = int(nm[t])
-        rows.append(
-            (m_sid[t, :k] + t * params.seeds_per_tile, m_widx[t, :k],
-             m_dist[t, :k])
+    import dataclasses
+
+    rng = np.random.default_rng(seed)
+    p = dev.params
+    W = np.asarray(dev.W8[:: max(1, dev.n_windows // n_sample)][:n_sample])
+    q = W + np.concatenate(
+        [rng.normal(0, noise, (len(W), p.dim)).astype(np.float32),
+         np.zeros((len(W), 8 - p.dim), np.float32)], axis=1,
+    )
+    qt = p.seeds_per_tile
+    pad = (-len(q)) % qt
+    if pad:
+        q = np.concatenate([q, np.zeros((pad, 8), np.float32)])
+    counts = np.asarray(
+        seed_candidate_counts(
+            dev, jnp.asarray(q),
+            jnp.asarray(np.arange(len(q)) < n_sample),
         )
-    sids = np.concatenate([r[0] for r in rows]) if rows else np.zeros(0, np.int32)
-    widx = np.concatenate([r[1] for r in rows]) if rows else np.zeros(0, np.int32)
-    dist = np.concatenate([r[2] for r in rows]) if rows else np.zeros(0, np.float32)
-    return sids, widx, dist, int(nc.sum()), np.asarray(ovf).any(axis=0)
+    )[:n_sample]
+    p99 = float(np.percentile(counts, 99)) if len(counts) else 1024.0
+    cap = 1 << int(np.ceil(np.log2(max(256.0, min(p99 * 1.5, max_cap)))))
+    surv = min(max(qt * cap // 8, 16384), 262144)
+    return dataclasses.replace(p, cap_per_seed=cap, surv_per_tile=surv)
 
 
 def pad_seeds(windows: np.ndarray, params: SearchParams):

@@ -69,6 +69,11 @@ def _load():
         c.c_void_p, c.c_void_p, c.c_void_p, c.c_int64, c.c_float, c.c_int32,
         c.c_int32, c.c_int32, c.c_int32, c.c_int32, c.c_void_p, c.c_void_p,
     ]
+    lib.sig_features.restype = c.c_int64
+    lib.sig_features.argtypes = [
+        c.c_void_p, c.c_int64, c.c_int32, c.c_int32, c.c_float, c.c_float,
+        c.c_float, c.c_float, c.c_void_p, c.c_void_p, c.c_int64,
+    ]
     _lib = lib
     return lib
 
@@ -121,6 +126,29 @@ def dedup(
             keep.append(i)
             last = float(vals[i])
     return np.array(keep, np.int32), last
+
+
+def features(
+    signal: np.ndarray, w1: int = 3, w2: int = 6, thresh1: float = 4.30265,
+    thresh2: float = 2.57058, peak_height: float = 1.0,
+    compress_delta: float = 0.1,
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Native event detection -> compressed feature signal (accurate-twin
+    semantics of signal/events_ref.generate_events(accurate_tstat=True)).
+    Returns None when the native lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    sig = np.ascontiguousarray(signal, np.float32)
+    cap = len(sig) + 2
+    feats = np.empty(cap, np.float32)
+    stdvs = np.empty(cap, np.float32)
+    m = lib.sig_features(
+        _ptr(sig), len(sig), w1, w2, ctypes.c_float(thresh1),
+        ctypes.c_float(thresh2), ctypes.c_float(peak_height),
+        ctypes.c_float(compress_delta), _ptr(feats), _ptr(stdvs), cap,
+    )
+    return feats[:m].copy(), stdvs[:m].copy()
 
 
 class KdTree:

@@ -1,0 +1,102 @@
+"""Subsequence DTW (sDTW) on device.
+
+Reference: Sigmap::sDTW (sigmap.cc:1259-1327): classic O(T*Q) subsequence
+DTW with free start/end on the target (current_row[0] = 0 per row, result =
+min over rows of current_row[Q]), cost |t_i - q_j|, transitions
+(diag, up, left).
+
+TPU-first formulation: the intra-row dependency
+    cur[j] = cost[j] + min(prev[j-1], prev[j], cur[j-1])
+is an associative prefix problem.  With a[j] = cost[j] + min(prev[j-1],
+prev[j]) and C[j] = prefix sum of cost:
+
+    cur[j] = min_{k<=j} ( a[k] + C[j] - C[k] )
+           = C[j] + runningmin_j ( a[k] - C[k] )
+
+so each row is pure vector work plus one cummin scan - no sequential inner
+loop.  The target dimension advances with lax.scan.  Numerical note: the
+prefix-sum reformulation accumulates C in fp32, so distances differ from
+the sequential C++ recurrence at ~1e-3 relative for query lengths ~3k
+(tests compare against the exact numpy recurrence with that tolerance).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BIG = jnp.float32(1e30)
+
+
+def _row_step(carry, t_val, q, qmask):
+    """One target row.  carry = prev row [Q+1] (index 0 = boundary col)."""
+    prev = carry
+    cost = jnp.where(qmask, jnp.abs(t_val - q), 0.0)  # [Q]
+    # a[j] = cost[j] + min(prev[j-1], prev[j])  for j = 1..Q (0-based j-1)
+    a = cost + jnp.minimum(prev[:-1], prev[1:])
+    C = jnp.cumsum(cost)
+    # cur[j] = C[j] + min(0, runningmin_{k<=j}(a[k] - C[k])); the 0 term is
+    # the free-start path through cur[0] = 0
+    m = jax.lax.associative_scan(jnp.minimum, jnp.minimum(a - C, 0.0))
+    cur_tail = C + m
+    cur = jnp.concatenate([jnp.zeros(1, jnp.float32), cur_tail])
+    return cur, cur[-1]
+
+
+@partial(jax.jit, static_argnames=())
+def sdtw_scan(target: jax.Array, t_len: jax.Array, query: jax.Array,
+              q_len: jax.Array):
+    """Subsequence DTW of query within target.
+
+    target [T] f32 (padded), query [Q] f32 (padded); returns
+    (min_distance, end_position 1-based like the reference).
+    Padded query positions get zero cost (harmless only if q_len==Q; for
+    ragged use, distances at column q_len are tracked via masking).
+    """
+    T = target.shape[0]
+    Q = query.shape[0]
+    qmask = jnp.arange(Q) < q_len
+    init = jnp.concatenate(
+        [jnp.zeros(1, jnp.float32), jnp.full((Q,), BIG, jnp.float32)]
+    )
+
+    def step(carry, xs):
+        t_val, i = xs
+        cur, _ = _row_step(carry, t_val, query, qmask)
+        # value at column q_len (the real last query column)
+        val = cur[q_len]
+        val = jnp.where(i < t_len, val, BIG)
+        return cur, val
+
+    _, lasts = jax.lax.scan(
+        step, init, (target, jnp.arange(T, dtype=jnp.int32))
+    )
+    best = jnp.min(lasts)
+    end_pos = jnp.argmin(lasts) + 1  # 1-based (sigmap.cc:1283)
+    return best, end_pos
+
+
+def sdtw_np(target: np.ndarray, query: np.ndarray):
+    """Exact sequential reference (sigmap.cc:1259-1291)."""
+    T, Q = len(target), len(query)
+    prev = np.full(Q + 1, np.float32(3.4e38))
+    prev[0] = 0.0
+    best = np.float32(3.4e38)
+    end_pos = -1
+    for i in range(1, T + 1):
+        cur = np.empty(Q + 1, np.float32)
+        cur[0] = 0.0
+        cost = np.abs(np.float32(target[i - 1]) - query.astype(np.float32))
+        for j in range(1, Q + 1):
+            cur[j] = cost[j - 1] + min(prev[j - 1], prev[j], cur[j - 1])
+        if cur[Q] < best:
+            best = cur[Q]
+            end_pos = i
+        prev = cur
+    return float(best), end_pos
+
+
+sdtw_batch = jax.jit(jax.vmap(sdtw_scan, in_axes=(0, 0, 0, 0)))

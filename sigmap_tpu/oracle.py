@@ -27,9 +27,15 @@ class Oracle:
         self.num_refs = len(index.ref_names)
 
     def features_for(self, pa: np.ndarray) -> np.ndarray:
+        e = self.cfg.event
+        out = native.features(
+            pa, e.window_length1, e.window_length2, e.threshold1,
+            e.threshold2, e.peak_height, self.cfg.mapping.compress_delta,
+        )
+        if out is not None:
+            return out[0]
         feats, _ = events_ref.generate_events(
-            pa, self.cfg.event, self.cfg.mapping.compress_delta,
-            accurate_tstat=True,
+            pa, e, self.cfg.mapping.compress_delta, accurate_tstat=True
         )
         return feats
 
