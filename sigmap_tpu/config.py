@@ -114,6 +114,9 @@ class RuntimeConfig:
     surv_per_tile: int = 262144   # stage-2 survivors per tile
     matches_per_tile: int = 32768
     autotune_search: bool = True  # size candidate budgets from the index
+    # radius-search backend: "xla" (portable), "kernel" (Pallas TPU fast
+    # path), "kernel_interpret" (kernel on CPU for testing)
+    search_impl: str = "xla"
     use_native_chainer: bool = True
     interpret_pallas: bool = False  # pallas interpreter mode (CPU testing)
 

@@ -116,7 +116,16 @@ class Mapper:
             v2 = np.zeros(n_tiles_b * p.seeds_per_tile, bool)
             v2[: len(valid)] = valid
             padded, valid, n_tiles = pad2, v2, n_tiles_b
-        out = search_flat(self.dev, padded, valid, n_tiles)
+        impl = self.cfg.runtime.search_impl
+        if impl.startswith("kernel"):
+            from .seeding import search_flat_kernel
+
+            out = search_flat_kernel(
+                self.dev, padded, valid,
+                interpret=(impl == "kernel_interpret"),
+            )
+        else:
+            out = search_flat(self.dev, padded, valid, n_tiles)
         sids, widx, dist, _, ovf = flatten_matches(out, p)
         if ovf.any():
             import sys

@@ -64,7 +64,8 @@ class SearchParams:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=[
-        "W4", "W8", "perm", "win_group", "win_pos", "cell_keys", "cell_starts",
+        "W4", "W8", "WT", "perm", "win_group", "win_pos", "cell_keys",
+        "cell_starts",
     ],
     meta_fields=["n_windows", "params"],
 )
@@ -74,6 +75,7 @@ class DeviceIndex:
 
     W4: jax.Array          # [Nw, 4] f32 leading dims (stage-1 rows)
     W8: jax.Array          # [Nw, 8] f32 full windows, zero-padded dims
+    WT: jax.Array          # [8, Nw+pad] f32 sublane-transposed (kernel path)
     perm: jax.Array        # [Nw] i32 sorted-window -> original window idx
     win_group: jax.Array   # [Nw] i32 (by ORIGINAL window idx) signal*2+strand
     win_pos: jax.Array     # [Nw] i32 (by ORIGINAL window idx)
@@ -84,7 +86,9 @@ class DeviceIndex:
 
     @staticmethod
     def from_host(idx: SignalIndex, radius: float = 0.08,
-                  **tile_kw) -> "DeviceIndex":
+                  with_transposed: bool = True, **tile_kw) -> "DeviceIndex":
+        from ..ops.range_search_kernel import SUB
+
         W = idx.windows_sorted(pad_to=8)
         params = SearchParams(
             radius=radius, dim=idx.dim, bucket_dims=idx.bucket_dims,
@@ -92,9 +96,15 @@ class DeviceIndex:
         )
         if idx.win_group is None:
             idx.derive_window_metadata()
+        if with_transposed:
+            WT = np.zeros((8, len(W) + SUB), np.float32)
+            WT[:, : len(W)] = W.T
+        else:
+            WT = np.zeros((8, 1), np.float32)
         return DeviceIndex(
             W4=jnp.asarray(W[:, :4]),
             W8=jnp.asarray(W),
+            WT=jnp.asarray(WT),
             perm=jnp.asarray(idx.perm, jnp.int32),
             win_group=jnp.asarray(idx.win_group, jnp.int32),
             win_pos=jnp.asarray(idx.win_pos, jnp.int32),
@@ -274,6 +284,84 @@ def flatten_matches(out, params: SearchParams):
     widx = np.asarray(jax.lax.slice_in_dim(f_widx, 0, kb))[:k]
     dist = np.asarray(jax.lax.slice_in_dim(f_dist, 0, kb))[:k]
     return sids, widx, dist, int(nc), np.asarray(ovf)
+
+
+def _probe_ranges_merged(dev: DeviceIndex, q: jax.Array, q_valid: jax.Array):
+    """Probe ranges merged over the LAST bucketed dim: each of the
+    3^(bd-1) leading-dim combos yields one contiguous span covering the
+    2-3 adjacent last-dim cells (adjacent radix keys are adjacent in the
+    sorted window order, empties included for free).
+
+    Returns (starts [Qt, P'], lens [Qt, P']) with P' = span^(bd-1).
+    """
+    p = dev.params
+    bd = p.bucket_dims
+    delta = jnp.float32(np.sqrt(p.radius))
+    w = jnp.float32(p.cell_width)
+    off = SignalIndex.CELL_OFFSET
+    radix = SignalIndex.CELL_RADIX
+    qb = q[:, :bd]
+    lo = jnp.clip(
+        jnp.floor((qb - delta) / w).astype(jnp.int32) + off, 0, radix - 1
+    )
+    hi = jnp.clip(
+        jnp.floor((qb + delta) / w).astype(jnp.int32) + off, 0, radix - 1
+    )
+    span = int(np.ceil(2 * np.sqrt(p.radius) / p.cell_width)) + 1
+    probes = np.array(
+        list(itertools.product(range(span), repeat=bd - 1)), np.int32
+    )  # [P', bd-1]
+    coords = lo[:, None, : bd - 1] + jnp.asarray(probes)[None, :, :]
+    valid = (
+        jnp.all(coords <= hi[:, None, : bd - 1], axis=-1) & q_valid[:, None]
+    )
+    prefix = jnp.zeros(coords.shape[:2], jnp.int32)
+    for d in range(bd - 1):
+        prefix = prefix * radix + coords[..., d]
+    key_lo = prefix * radix + lo[:, None, bd - 1]
+    key_hi = prefix * radix + hi[:, None, bd - 1]
+    K = dev.cell_keys.shape[0]
+    r_lo = jnp.searchsorted(dev.cell_keys, key_lo.reshape(-1)).reshape(
+        key_lo.shape
+    )
+    r_hi = jnp.searchsorted(
+        dev.cell_keys, key_hi.reshape(-1) + 1
+    ).reshape(key_hi.shape)
+    starts = dev.cell_starts[jnp.clip(r_lo, 0, K)]
+    ends = dev.cell_starts[jnp.clip(r_hi, 0, K)]
+    lens = jnp.where(valid, ends - starts, 0)
+    return starts, lens
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def search_flat_kernel(dev: DeviceIndex, seeds: jax.Array,
+                       seeds_valid: jax.Array, interpret: bool = False):
+    """Kernel-backed radius search (drop-in for search_flat's output
+    contract: (sid, widx, dist, total, n_cand, ovf))."""
+    from ..ops.range_search_kernel import SEEDS_PER_PROG, range_search_pallas
+
+    p = dev.params
+    Q = seeds.shape[0]
+    starts, lens = _probe_ranges_merged(dev, seeds, seeds_valid)
+    row_cum = jnp.cumsum(lens, axis=1)
+    allowed = jnp.clip(p.cap_per_seed - (row_cum - lens), 0, None)
+    seed_ovf = jnp.any(lens > allowed)
+    lens = jnp.minimum(lens, allowed)
+    n_cand = lens.sum()
+    M = 1024
+    m_idx, m_dist, m_cnt = range_search_pallas(
+        starts, lens, seeds, dev.WT, p.radius, R=starts.shape[1], M=M,
+        interpret=interpret,
+    )
+    match_ovf = jnp.any(m_cnt > M)
+    m_cnt = jnp.minimum(m_cnt, M)
+    mask = (jnp.arange(M)[None, :] < m_cnt[:, None]).reshape(-1)
+    sid = jnp.repeat(jnp.arange(Q, dtype=jnp.int32)[:, None], M, 1).reshape(-1)
+    (f_sid, f_widx, f_dist), total = _compact(
+        (sid, dev.perm[m_idx.reshape(-1)], m_dist.reshape(-1)), mask, Q * M
+    )
+    ovf = jnp.stack([seed_ovf, jnp.bool_(False), match_ovf])
+    return f_sid, f_widx, f_dist, total, n_cand, ovf
 
 
 @jax.jit

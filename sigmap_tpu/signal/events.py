@@ -284,7 +284,9 @@ def compress_features_batch(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "max_events", "max_features", "compress_delta"),
+    static_argnames=(
+        "cfg", "max_events", "max_features", "compress_delta", "peaks_impl",
+    ),
 )
 def batch_generate_events(
     chunks: jax.Array,
@@ -293,15 +295,25 @@ def batch_generate_events(
     max_events: int = 1024,
     max_features: int = 1024,
     compress_delta: float = 0.1,
+    peaks_impl: str = "scan",
 ):
     """Full device pipeline for a chunk batch: [B, C] raw pA samples ->
     (features [B,F], feature_stdvs [B,F], feature_counts [B], event_counts [B]).
 
     Equivalent to per-read GenerateEvents (sigmap.cc:1048-1083).
+    peaks_impl: "scan" (portable), "pallas" (TPU fast path), or
+    "pallas_interpret" (CPU testing of the kernel).
     """
     t1 = batch_tstat(chunks, lengths, cfg.window_length1)
     t2 = batch_tstat(chunks, lengths, cfg.window_length2)
-    emits = detect_peaks_batch(t1, t2, lengths, cfg)
+    if peaks_impl == "scan":
+        emits = detect_peaks_batch(t1, t2, lengths, cfg)
+    else:
+        from .events_pallas import detect_peaks_pallas
+
+        emits = detect_peaks_pallas(
+            t1, t2, lengths, cfg, interpret=(peaks_impl == "pallas_interpret")
+        )
     peaks1, n_peaks = compact_nonzero(emits, max_events)
     peaks = peaks1 - 1  # stored as pos+1
     means, stdvs, num_events = events_from_peaks_batch(
