@@ -143,6 +143,7 @@ def _local_device_index(sh: ShardedIndex) -> DeviceIndex:
     nw = sh.W4.shape[0]
     return DeviceIndex(
         W4=sh.W4, W8=sh.W8,
+        WT=jnp.zeros((8, 1), jnp.float32),  # XLA path only (no kernel WT)
         perm=jnp.arange(nw, dtype=jnp.int32),
         win_group=sh.win_group, win_pos=sh.win_pos,
         cell_keys=sh.cell_keys, cell_starts=sh.cell_starts,
