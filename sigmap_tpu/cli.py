@@ -118,7 +118,29 @@ def run_map(args) -> int:
             return 1
     cfg = make_config(args)
     t0 = time.time()
-    idx = SignalIndex.load(args.ref_index)
+    import os
+
+    if os.path.exists(args.ref_index + ".sidx.npz") or args.ref_index.endswith(
+        (".sidx", ".npz")
+    ):
+        idx = SignalIndex.load(args.ref_index)
+    elif os.path.exists(args.ref_index + ".pt") or args.ref_index.endswith(".pt"):
+        # reference-compatible .pt point cloud: rebuild the grid on the fly
+        # (README.md:19 semantics)
+        from .io.fasta import read_fasta
+
+        seqs = read_fasta(args.ref)
+        pt = (
+            args.ref_index
+            if args.ref_index.endswith(".pt")
+            else args.ref_index + ".pt"
+        )
+        idx = SignalIndex.load_pt(
+            pt, cfg.index, cfg.mapping.search_radius,
+            [s.name for s in seqs], [s.length for s in seqs],
+        )
+    else:
+        idx = SignalIndex.load(args.ref_index)
     signals = load_all_read_signals(
         args.sig_dir, cfg.mapping.pa_lo, cfg.mapping.pa_hi
     )
@@ -141,6 +163,17 @@ def run_map(args) -> int:
 
 
 def main(argv=None) -> int:
+    import os
+
+    if (
+        os.environ.get("SIGMAP_TPU_FORCE_CPU")
+        or os.environ.get("JAX_PLATFORMS", "").strip() == "cpu"
+    ):
+        # the axon sitecustomize force-sets jax_platforms at boot; honor an
+        # explicit CPU request over it
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     args = build_parser().parse_args(argv)
     if args.build_index:
         return run_index(args)
