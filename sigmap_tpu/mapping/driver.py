@@ -393,9 +393,8 @@ class Mapper:
         records: dict[int, PAFRecord] = {}
         reset = np.zeros(B, bool)
         interpret = rt.search_impl == "kernel_interpret"
-        peaks_impl = (
-            "pallas" if rt.search_impl == "kernel" else "scan"
-        )
+        peaks_impl = "pallas" if rt.search_impl == "kernel" else "scan"
+        chain_impl = "pallas" if rt.search_impl == "kernel" else "scan"
 
         while pending or any(s is not None for s in slots):
             for i in range(B):
@@ -424,6 +423,7 @@ class Mapper:
                 step=m.step_size, a_cap=8192, carry_cap=CARRY,
                 ed_cfg=self.cfg.event, chain_cfg=self.cfg.chain,
                 search_interpret=interpret, peaks_impl=peaks_impl,
+                chain_impl=chain_impl,
             )
             summary_f, summary_i, counts, carry, offsets, ovf = out
             sf = np.asarray(summary_f)

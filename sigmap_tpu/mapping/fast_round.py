@@ -47,6 +47,7 @@ NEG = jnp.float32(-1e30)
     static_argnames=(
         "step", "s_max", "a_cap", "carry_cap", "m_per_seed", "trace_max",
         "dim", "ed_cfg", "chain_cfg", "search_interpret", "peaks_impl",
+        "chain_impl",
     ),
 )
 def fast_round(
@@ -70,6 +71,7 @@ def fast_round(
     chain_cfg: ChainingConfig = ChainingConfig(),
     search_interpret: bool = False,
     peaks_impl: str = "scan",
+    chain_impl: str = "scan",
 ):
     B, C = chunks.shape
     CARRY = carry_t.shape[1]
@@ -181,10 +183,19 @@ def fast_round(
     n_anchors_row = valid.sum(axis=1).astype(jnp.int32)
 
     # ---- 6. banded chaining ----------------------------------------------
-    scores, preds = chain_scores_banded(
-        a_t, a_q, a_d, jnp.where(valid, a_g, -1), valid,
-        dev.params.radius, dim, chain_cfg,
-    )
+    if chain_impl == "scan":
+        scores, preds = chain_scores_banded(
+            a_t, a_q, a_d, jnp.where(valid, a_g, -1), valid,
+            dev.params.radius, dim, chain_cfg,
+        )
+    else:
+        from ..ops.chain_kernel import chain_scores_banded_pallas
+
+        scores, preds = chain_scores_banded_pallas(
+            a_t, a_q, a_d, jnp.where(valid, a_g, -1), valid,
+            float(dev.params.radius), dim, chain_cfg,
+            interpret=(chain_impl == "pallas_interpret"),
+        )
     s = jnp.where(valid, scores, NEG)
 
     def best_and_trace(sc):

@@ -62,3 +62,28 @@ def test_range_search_kernel_matches_kdtree(pore6):
         ref = dict(zip(oi.tolist(), od.tolist()))
         for w_, d_ in zip(got.tolist(), dist[sids == qid].tolist()):
             assert abs(ref[w_] - d_) < 1e-5
+
+
+def test_chain_kernel_matches_scan(rng):
+    import jax.numpy as jnp
+
+    from sigmap_tpu.mapping.chain_device import chain_scores_banded
+    from sigmap_tpu.ops.chain_kernel import chain_scores_banded_pallas
+
+    B, A = 3, 400
+    t = np.sort(rng.integers(0, 5000, (B, A)).astype(np.int32), axis=1)
+    q = rng.integers(0, 800, (B, A)).astype(np.int32)
+    d = (rng.random((B, A)) * 0.08).astype(np.float32)
+    g = rng.integers(0, 2, (B, A)).astype(np.int32)
+    for b in range(B):
+        o = np.lexsort((q[b], t[b], g[b]))
+        t[b], q[b], d[b], g[b] = t[b][o], q[b][o], d[b][o], g[b][o]
+    v = rng.random((B, A)) < 0.9
+    s_ref, p_ref = chain_scores_banded(t, q, d, g, v, 0.08)
+    s_pal, p_pal = chain_scores_banded_pallas(
+        t, q, d, jnp.asarray(g), jnp.asarray(v), 0.08, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_ref), np.asarray(s_pal), atol=1e-4
+    )
+    np.testing.assert_array_equal(np.asarray(p_ref), np.asarray(p_pal))
