@@ -53,8 +53,20 @@ def build_parser() -> argparse.ArgumentParser:
                     help="Best/mean score ratio to output mappings [5]")
     ap.add_argument("--batch-mode", action="store_true",
                     help="Whole-read (non-streaming) mapping, like Sigmap::Map")
+    ap.add_argument("--fast-mode", action="store_true",
+                    help="All-device streaming rounds (banded chaining)")
     ap.add_argument("--read-batch", type=int, default=128,
                     help="Reads mapped concurrently on device [128]")
+    ap.add_argument("--rna", action="store_true",
+                    help="RNA event-detector preset (event.h:39-43)")
+    ap.add_argument("--search-engine", choices=["xla", "kernel"],
+                    default="xla", help="Device radius-search backend")
+    ap.add_argument(
+        "--debug-mode",
+        choices=["dtw-align", "cwt-align", "fast5-to-text", "events-to-text"],
+        help="Run a reference debug mode instead of mapping "
+             "(sigmap.cc:1499-1504 dormant paths)",
+    )
     return ap
 
 
@@ -63,7 +75,13 @@ def make_config(args) -> "SigmapConfig":
         IndexConfig, MappingConfig, RuntimeConfig, SigmapConfig,
     )
 
+    from .config import EventDetectorConfig
+
     return SigmapConfig(
+        event=(
+            EventDetectorConfig.rna() if getattr(args, "rna", False)
+            else EventDetectorConfig.dna()
+        ),
         index=IndexConfig(dimension=args.dimension, max_leaf=args.max_leaf),
         mapping=MappingConfig(
             search_radius=args.search_radius, step_size=args.step_size,
@@ -75,7 +93,10 @@ def make_config(args) -> "SigmapConfig":
             stop_mapping_mean_ratio=args.stop_mapping_mean,
             output_mapping_mean_ratio=args.stop_mapping_mean_output,
         ),
-        runtime=RuntimeConfig(read_batch=args.read_batch),
+        runtime=RuntimeConfig(
+            read_batch=args.read_batch,
+            search_impl=getattr(args, "search_engine", "xla"),
+        ),
     )
 
 
@@ -148,6 +169,8 @@ def run_map(args) -> int:
     mapper = Mapper(idx, cfg)
     if args.batch_mode:
         records = mapper.map_reads(signals)
+    elif args.fast_mode:
+        records = mapper.streaming_map_fast(signals)
     else:
         records = mapper.streaming_map(signals)
     writer = PAFWriter(args.output, idx.ref_names, idx.ref_lengths)
@@ -159,6 +182,25 @@ def run_map(args) -> int:
         f"# reads: {len(signals)}, # records: {n}",
         file=sys.stderr,
     )
+    return 0
+
+
+def run_debug_mode(args) -> int:
+    from . import debug_modes
+
+    if args.debug_mode == "fast5-to-text":
+        path = debug_modes.fast5_to_text(args.sig_dir, args.output)
+    elif args.debug_mode == "events-to-text":
+        path = debug_modes.events_to_text(
+            args.sig_dir, args.output, make_config(args)
+        )
+    elif args.debug_mode == "dtw-align":
+        debug_modes.dtw_align(args.ref, args.pore_model, args.sig_dir)
+        path = "(stderr)"
+    else:
+        debug_modes.cwt_align(args.ref, args.pore_model, args.sig_dir)
+        path = "(stderr)"
+    print(f"debug mode {args.debug_mode} -> {path}", file=sys.stderr)
     return 0
 
 
@@ -175,6 +217,8 @@ def main(argv=None) -> int:
 
         jax.config.update("jax_platforms", "cpu")
     args = build_parser().parse_args(argv)
+    if args.debug_mode:
+        return run_debug_mode(args)
     if args.build_index:
         return run_index(args)
     if args.map:
