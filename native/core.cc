@@ -274,6 +274,63 @@ void sig_chain_scores(const int32_t* target_pos, const int32_t* query_pos,
 }
 
 // ---------------------------------------------------------------------------
+// Canonical k-mer counting + high-frequency masking (sigmap.cc:19-185).
+// codes: 2-bit bases, >=4 = ambiguous.  Counting uses the rolling fwd/rc
+// registers with run-length reset on ambiguous bases; canonical = min.
+// ---------------------------------------------------------------------------
+
+int64_t sig_kmer_count(const uint8_t* codes, int64_t n, int32_t k,
+                       int64_t* hist) {
+  uint64_t mask = (((uint64_t)1) << (2 * k)) - 1;
+  uint64_t shift = 2 * (k - 1);
+  uint64_t fwd = 0, rc = 0;
+  int32_t run = 0;
+  int64_t num = 0;
+  for (int64_t p = 0; p < n; ++p) {
+    uint8_t b = codes[p];
+    if (b < 4) {
+      fwd = ((fwd << 2) | b) & mask;
+      rc = (rc >> 2) | (((uint64_t)(3 ^ b)) << shift);
+      if (++run >= k) {
+        hist[fwd < rc ? fwd : rc] += 1;
+        ++num;
+      }
+    } else {
+      run = 0;
+      fwd = rc = 0;
+    }
+  }
+  return num;
+}
+
+void sig_kmer_mask(const uint8_t* codes, int64_t n, int32_t k,
+                   const int64_t* hist, int64_t num_kmers, float frequency,
+                   uint8_t* out_mask /* [n-k+1] */) {
+  uint64_t mask = (((uint64_t)1) << (2 * k)) - 1;
+  uint64_t shift = 2 * (k - 1);
+  uint64_t fwd = 0, rc = 0;
+  int32_t run = 0;
+  float fnum = (float)num_kmers;
+  for (int64_t i = 0; i + k <= n; ++i) out_mask[i] = 0;
+  for (int64_t p = 0; p < n; ++p) {
+    uint8_t b = codes[p];
+    if (b < 4) {
+      fwd = ((fwd << 2) | b) & mask;
+      rc = (rc >> 2) | (((uint64_t)(3 ^ b)) << shift);
+      if (++run >= k) {
+        uint64_t canon = fwd < rc ? fwd : rc;
+        // float compare exactly like sigmap.cc:114
+        out_mask[p + 1 - k] = ((float)hist[canon] / fnum) > frequency;
+      }
+    } else {
+      run = 0;
+      fwd = rc = 0;
+      if (p >= k - 1) out_mask[p + 1 - k] = 1;
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
 // Event detection -> compressed feature signal for one chunk.
 // Same algorithm as signal/events_ref.py accurate mode: two-window Welch
 // t-stats with *centered* variance (stable twin of event.h:70-115), the

@@ -74,6 +74,14 @@ def _load():
         c.c_void_p, c.c_int64, c.c_int32, c.c_int32, c.c_float, c.c_float,
         c.c_float, c.c_float, c.c_void_p, c.c_void_p, c.c_int64,
     ]
+    lib.sig_kmer_count.restype = c.c_int64
+    lib.sig_kmer_count.argtypes = [
+        c.c_void_p, c.c_int64, c.c_int32, c.c_void_p,
+    ]
+    lib.sig_kmer_mask.argtypes = [
+        c.c_void_p, c.c_int64, c.c_int32, c.c_void_p, c.c_int64, c.c_float,
+        c.c_void_p,
+    ]
     _lib = lib
     return lib
 
@@ -126,6 +134,34 @@ def dedup(
             keep.append(i)
             last = float(vals[i])
     return np.array(keep, np.int32), last
+
+
+def kmer_masks(
+    pos_codes_list, neg_codes_list, k: int, frequency: float
+):
+    """Canonical k-mer masking for all sequences/strands (sigmap.cc:19-185).
+    Returns (pos_masks, neg_masks) lists of bool arrays, or None if the
+    native lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    hist = np.zeros(1 << (2 * k), np.int64)
+    num = 0
+    pos_codes_list = [np.ascontiguousarray(c, np.uint8) for c in pos_codes_list]
+    neg_codes_list = [np.ascontiguousarray(c, np.uint8) for c in neg_codes_list]
+    for codes in pos_codes_list:
+        num += lib.sig_kmer_count(_ptr(codes), len(codes), k, _ptr(hist))
+    out = ([], [])
+    for strand, lst in enumerate((pos_codes_list, neg_codes_list)):
+        for codes in lst:
+            m = np.zeros(max(len(codes) - k + 1, 0), np.uint8)
+            if len(m):
+                lib.sig_kmer_mask(
+                    _ptr(codes), len(codes), k, _ptr(hist), num,
+                    ctypes.c_float(frequency), _ptr(m),
+                )
+            out[strand].append(m.astype(bool))
+    return out
 
 
 def features(

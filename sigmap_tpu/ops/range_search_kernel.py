@@ -67,12 +67,13 @@ def _kernel(
         block = buf[0]  # filled by caller via wait
         diff = block - q
         dist = jnp.sum(diff * diff, axis=0, keepdims=True)  # [1, SUB]
-        valid = (col_iota < width) & (dist < radius)
-        n = jnp.sum(valid.astype(jnp.int32))
+        # int32 mask: Mosaic rejects carried/select i1 vectors
+        valid_i = ((col_iota < width) & (dist < radius)).astype(jnp.int32)
+        n = jnp.sum(valid_i)
 
         def extract(_, carry):
-            vmask, c = carry
-            pos_vec = jnp.where(vmask, col_iota, SUB)
+            vmask_i, c = carry
+            pos_vec = jnp.where(vmask_i > 0, col_iota, SUB)
             pos = jnp.min(pos_vec)
             d_val = jnp.sum(jnp.where(col_iota == pos, dist, 0.0))
             idx_val = start + off + pos
@@ -84,9 +85,9 @@ def _kernel(
                 )
                 out_dist_ref[s, pl.ds(c, 1)] = jnp.full((1,), d_val)
 
-            return vmask & (col_iota != pos), c + 1
+            return jnp.where(col_iota == pos, 0, vmask_i), c + 1
 
-        _, cnt = jax.lax.fori_loop(0, n, extract, (valid, cnt))
+        _, cnt = jax.lax.fori_loop(0, n, extract, (valid_i, cnt))
         return cnt
 
     def seed_loop(s, _):

@@ -26,17 +26,19 @@ LANES = 128
 
 
 def _peaks_kernel(t1_ref, t2_ref, len_ref, out_s_ref, out_l_ref, *, cfg, C):
+    # NOTE: boolean state is carried as int32 0/1 - Mosaic rejects selects
+    # over i1 vectors ("Unsupported target bitwidth for truncation")
     B = LANES
     zero_i = jnp.zeros((1, B), jnp.int32)
     state = dict(
         s_pp=zero_i - 1, s_pv=jnp.full((1, B), FLT_MAX),
-        s_valid=jnp.zeros((1, B), jnp.bool_), s_mask=zero_i,
+        s_valid=zero_i, s_mask=zero_i,
         l_pp=zero_i - 1, l_pv=jnp.full((1, B), FLT_MAX),
-        l_valid=jnp.zeros((1, B), jnp.bool_), l_mask=zero_i,
+        l_valid=zero_i, l_mask=zero_i,
     )
     lengths = len_ref[0, :]
 
-    def det_step(v, i, pp, pv, valid, masked, threshold, wl, active):
+    def det_step(v, i, pp, pv, valid_i, masked, threshold, wl, active):
         act = active & (masked < i)
         in_def = pp == -1
         lower = v < pv
@@ -47,14 +49,16 @@ def _peaks_kernel(t1_ref, t2_ref, len_ref, out_s_ref, out_l_ref, *, cfg, C):
         pp2 = jnp.where(upd, i, pp)
         pv2 = jnp.where(upd, v, pv)
         set_valid = (pv2 - v > cfg.peak_height) & (pv2 > threshold)
-        valid2 = valid | set_valid
-        emit = valid2 & ((i - pp2) > (wl // 2))
+        valid2_i = jnp.maximum(valid_i, set_valid.astype(jnp.int32))
+        emit = (valid2_i > 0) & ((i - pp2) > (wl // 2))
         pp2e = jnp.where(emit, -1, pp2)
         pv2e = jnp.where(emit, v, pv2)
-        valid2e = valid2 & ~emit
+        valid2e_i = jnp.where(emit, 0, valid2_i)
         npp = jnp.where(act, jnp.where(in_def, pp1, pp2e), pp)
         npv = jnp.where(act, jnp.where(in_def, pv1, pv2e), pv)
-        nvalid = jnp.where(act, jnp.where(in_def, valid, valid2e), valid)
+        nvalid = jnp.where(
+            act, jnp.where(in_def, valid_i, valid2e_i), valid_i
+        )
         emit_pos = jnp.where(act & (~in_def) & emit, pp2 + 1, 0)
         dominate = act & (~in_def) & (pv2 > threshold)
         return npp, npv, nvalid, emit_pos, dominate, pp2
@@ -69,7 +73,7 @@ def _peaks_kernel(t1_ref, t2_ref, len_ref, out_s_ref, out_l_ref, *, cfg, C):
         )
         l_pp = jnp.where(dominate, -1, st["l_pp"])
         l_pv = jnp.where(dominate, FLT_MAX, st["l_pv"])
-        l_valid = st["l_valid"] & ~dominate
+        l_valid = jnp.where(dominate, 0, st["l_valid"])
         l_mask = jnp.where(
             dominate, s_pp2 + cfg.window_length1, st["l_mask"]
         )
