@@ -69,21 +69,28 @@ def accuracy(records, reads):
     return mapped, correct
 
 
-def bench_tpu(cfg, idx, signals, batch):
+def bench_tpu(cfg, idx, signals, batch, engine="fast"):
     import dataclasses
 
     from sigmap_tpu.mapping.driver import Mapper
 
     cfg = dataclasses.replace(
-        cfg, runtime=dataclasses.replace(cfg.runtime, read_batch=batch)
+        cfg, runtime=dataclasses.replace(
+            cfg.runtime, read_batch=batch,
+            search_impl="kernel" if engine == "fast" else "xla",
+        )
     )
     mapper = Mapper(idx, cfg)
-    log("tpu: warmup (compile)...")
+    run = (
+        mapper.streaming_map_fast if engine == "fast"
+        else mapper.streaming_map
+    )
+    log(f"tpu[{engine}]: warmup (compile)...")
     t0 = time.perf_counter()
-    mapper.streaming_map(signals[: min(8, len(signals))])
-    log(f"tpu: warmup {time.perf_counter()-t0:.1f}s")
+    run(signals[: min(batch, len(signals))])
+    log(f"tpu[{engine}]: warmup {time.perf_counter()-t0:.1f}s")
     t0 = time.perf_counter()
-    records = mapper.streaming_map(signals)
+    records = run(signals)
     dt = time.perf_counter() - t0
     return records, len(signals) / dt, dt
 
@@ -132,6 +139,8 @@ def main():
     ap.add_argument("--read-bases", type=int, default=3000)
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--baseline-threads", type=int, default=4)
+    ap.add_argument("--engine", choices=["fast", "exact"], default="fast",
+                    help="TPU path: fast (all-device kernels) or exact")
     args = ap.parse_args()
     if args.smoke:
         genome_mb = args.genome_mb or 0.5
@@ -146,7 +155,9 @@ def main():
         genome_mb, n_reads, args.read_bases
     )
 
-    records, tpu_rps, tpu_dt = bench_tpu(cfg, idx, signals, batch)
+    records, tpu_rps, tpu_dt = bench_tpu(
+        cfg, idx, signals, batch, engine=args.engine
+    )
     mapped, correct = accuracy(records, reads)
     log(f"tpu: {tpu_rps:.2f} reads/s ({tpu_dt:.1f}s), "
         f"mapped {mapped}/{len(reads)}, correct {correct}/{max(1,mapped)}")
