@@ -60,62 +60,95 @@ def _kernel(
     # (seed, range, offset) triple encoded in carry.
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, SUB), 1)
 
-    def process_chunk(s, start, off, width, cnt):
-        """Distance + extraction for buf[cur] covering cols
-        [start+off, start+off+width)."""
-        q = queries_ref[s, :].reshape(8, 1)
-        block = buf[0]  # filled by caller via wait
-        diff = block - q
-        dist = jnp.sum(diff * diff, axis=0, keepdims=True)  # [1, SUB]
-        # int32 mask: Mosaic rejects carried/select i1 vectors
-        valid_i = ((col_iota < width) & (dist < radius)).astype(jnp.int32)
-        n = jnp.sum(valid_i)
-
-        def extract(_, carry):
-            vmask_i, c = carry
-            pos_vec = jnp.where(vmask_i > 0, col_iota, SUB)
-            pos = jnp.min(pos_vec)
-            d_val = jnp.sum(jnp.where(col_iota == pos, dist, 0.0))
-            idx_val = start + off + pos
-
-            @pl.when(c < M)
-            def _():
-                out_idx_ref[s, pl.ds(c, 1)] = jnp.full(
-                    (1,), idx_val, jnp.int32
-                )
-                out_dist_ref[s, pl.ds(c, 1)] = jnp.full((1,), d_val)
-
-            return jnp.where(col_iota == pos, 0, vmask_i), c + 1
-
-        _, cnt = jax.lax.fori_loop(0, n, extract, (valid_i, cnt))
-        return cnt
-
     def seed_loop(s, _):
-        cnt0 = jnp.int32(0)
+        # Software pipeline over ranges: range r+1's first chunk DMA is
+        # started (slot r+1 & 1) before waiting on range r's (slot r & 1),
+        # hiding DMA latency behind the distance/extract work.  Ranges
+        # longer than SUB continue serially in slot 2 (rare).
+        # wt must be padded with >= SUB trailing columns so the fixed-width
+        # DMA never runs past the array (see wrapper).
+        def start_first(r, slot):
+            @pl.when(lens_ref[g, s, r] > 0)
+            def _():
+                dma(slot, starts_ref[g, s, r], SUB).start()
+
+        start_first(0, 0)
 
         def range_loop(r, cnt):
             start = starts_ref[g, s, r]
             length = lens_ref[g, s, r]
+            slot = jax.lax.rem(r, 2)
 
-            def chunk_loop(carry):
-                # wt must be padded with >= SUB trailing columns so the
-                # fixed-width DMA never runs past the array (see wrapper)
-                off, c = carry
-                width = jnp.minimum(length - off, SUB)
-                cp = dma(0, start + off, width)
-                cp.start()
-                cp.wait()
-                c = process_chunk(s, start + off, 0, width, c)
-                return off + SUB, c
+            @pl.when(r + 1 < R)
+            def _():
+                start_first(r + 1, 1 - slot)
 
-            def cond(carry):
-                off, c = carry
-                return off < length
+            def with_data(cnt):
+                dma(slot, start, SUB).wait()
+                width0 = jnp.minimum(length, SUB)
+                buf_view = buf  # slot selected inside process via index
 
-            _, cnt = jax.lax.while_loop(cond, chunk_loop, (jnp.int32(0), cnt))
+                def process(slot_idx, st, off, width, c):
+                    q = queries_ref[s, :].reshape(8, 1)
+                    block = buf[slot_idx]
+                    diff = block - q
+                    dist = jnp.sum(diff * diff, axis=0, keepdims=True)
+                    valid_i = (
+                        (col_iota < width) & (dist < radius)
+                    ).astype(jnp.int32)
+                    n = jnp.sum(valid_i)
+
+                    def extract(_, carry):
+                        vmask_i, c2 = carry
+                        pos = jnp.min(
+                            jnp.where(vmask_i > 0, col_iota, SUB)
+                        )
+                        d_val = jnp.sum(
+                            jnp.where(col_iota == pos, dist, 0.0)
+                        )
+                        idx_val = st + off + pos
+
+                        @pl.when(c2 < M)
+                        def _():
+                            out_idx_ref[s, pl.ds(c2, 1)] = jnp.full(
+                                (1,), idx_val, jnp.int32
+                            )
+                            out_dist_ref[s, pl.ds(c2, 1)] = jnp.full(
+                                (1,), d_val
+                            )
+
+                        return (
+                            jnp.where(col_iota == pos, 0, vmask_i), c2 + 1
+                        )
+
+                    _, c = jax.lax.fori_loop(0, n, extract, (valid_i, c))
+                    return c
+
+                cnt2 = process(slot, start, 0, width0, cnt)
+
+                # overflow chunks (length > SUB), serial in slot 2
+                def chunk_loop(carry):
+                    off, c = carry
+                    width = jnp.minimum(length - off, SUB)
+                    cp = dma(2, start + off, width)
+                    cp.start()
+                    cp.wait()
+                    c = process(2, start, off, width, c)
+                    return off + SUB, c
+
+                def cond(carry):
+                    off, c = carry
+                    return off < length
+
+                _, cnt3 = jax.lax.while_loop(
+                    cond, chunk_loop, (jnp.int32(SUB), cnt2)
+                )
+                return cnt3
+
+            cnt = jax.lax.cond(length > 0, with_data, lambda c: c, cnt)
             return cnt
 
-        cnt = jax.lax.fori_loop(0, R, range_loop, cnt0)
+        cnt = jax.lax.fori_loop(0, R, range_loop, jnp.int32(0))
         out_cnt_ref[s, 0] = cnt  # raw count; wrapper clamps + flags overflow
         return 0
 
