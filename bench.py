@@ -110,22 +110,22 @@ def bench_cpu_baseline(cfg, idx, signals, threads=4, cap_reads=32):
     return len(subset) / dt, dt
 
 
-def bench_dtw(B=16, T=2048, Q=512):
-    import jax
-
+def bench_dtw(B=128, T=2048, Q=512, use_kernel=True):
     from sigmap_tpu.ops.sdtw import sdtw_batch
+    from sigmap_tpu.ops.sdtw_kernel import sdtw_pallas
 
     rng = np.random.default_rng(0)
     ts = rng.normal(0, 1, (B, T)).astype(np.float32)
     qs = rng.normal(0, 1, (B, Q)).astype(np.float32)
     tl = np.full(B, T, np.int32)
     ql = np.full(B, Q, np.int32)
-    out = sdtw_batch(ts, tl, qs, ql)
+    fn = sdtw_pallas if use_kernel else sdtw_batch
+    out = fn(ts, tl, qs, ql)
     _ = tuple(np.asarray(o) for o in out)
     reps = 3
     t0 = time.perf_counter()
     for i in range(reps):
-        out = sdtw_batch(ts + np.float32(i * 1e-6), tl, qs, ql)
+        out = fn(ts + np.float32(i * 1e-6), tl, qs, ql)
         _ = tuple(np.asarray(o) for o in out)
     dt = (time.perf_counter() - t0) / reps
     return B * T * Q / dt

@@ -87,3 +87,29 @@ def test_chain_kernel_matches_scan(rng):
         np.asarray(s_ref), np.asarray(s_pal), atol=1e-4
     )
     np.testing.assert_array_equal(np.asarray(p_ref), np.asarray(p_pal))
+
+
+def test_sdtw_kernel_matches_reference(rng):
+    from sigmap_tpu.ops.sdtw import sdtw_np
+    from sigmap_tpu.ops.sdtw_kernel import sdtw_pallas
+
+    B, T, Q = 4, 256, 64
+    ts = np.zeros((B, T), np.float32)
+    qs = np.zeros((B, Q), np.float32)
+    tl = np.zeros(B, np.int32)
+    ql = np.zeros(B, np.int32)
+    exp = []
+    for b in range(B):
+        nt = int(rng.integers(100, T))
+        nq = int(rng.integers(30, Q))
+        t = rng.normal(0, 1, nt).astype(np.float32)
+        lo = int(rng.integers(0, nt - nq))
+        q = (t[lo : lo + nq] + rng.normal(0, 0.05, nq)).astype(np.float32)
+        ts[b, :nt] = t
+        qs[b, :nq] = q
+        tl[b], ql[b] = nt, nq
+        exp.append(sdtw_np(t, q))
+    best, end = sdtw_pallas(ts, tl, qs, ql, interpret=True)
+    for b in range(B):
+        assert abs(float(best[b]) - exp[b][0]) < 1e-3 * max(1, exp[b][0])
+        assert int(end[b]) == exp[b][1]
