@@ -80,3 +80,23 @@ def test_sharded_index_covers_all_windows(setup):
     sh = ShardedIndex.build(idx, 4, radius=0.08, **TILE_KW)
     total = int((np.asarray(sh.win_group) >= 0).sum())
     assert total == idx.n_windows
+
+
+def test_multihost_helpers(tmp_path):
+    from sigmap_tpu.parallel.multihost import merge_host_paf, shard_files_for_host
+
+    files = [f"f{i:02d}" for i in range(10)]
+    s0 = shard_files_for_host(files, 0, 3)
+    s1 = shard_files_for_host(files, 1, 3)
+    s2 = shard_files_for_host(files, 2, 3)
+    assert sorted(s0 + s1 + s2) == sorted(files)
+    assert not (set(s0) & set(s1))
+
+    p0 = tmp_path / "h0.paf"
+    p1 = tmp_path / "h1.paf"
+    p0.write_text("a\t1\n")
+    p1.write_text("b\t2\nc\t3\n")
+    out = tmp_path / "all.paf"
+    n = merge_host_paf([str(p1), str(p0)], str(out))
+    assert n == 3
+    assert out.read_text().splitlines()[0] == "a\t1"  # rank-major order
