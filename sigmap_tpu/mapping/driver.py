@@ -392,9 +392,13 @@ class Mapper:
         slots: list[_ReadState | None] = [None] * B
         records: dict[int, PAFRecord] = {}
         reset = np.zeros(B, bool)
-        interpret = rt.search_impl == "kernel_interpret"
-        peaks_impl = "pallas" if rt.search_impl == "kernel" else "scan"
-        chain_impl = "pallas" if rt.search_impl == "kernel" else "scan"
+        import jax
+
+        on_cpu = jax.default_backend() == "cpu"
+        interpret = rt.search_impl == "kernel_interpret" or on_cpu
+        use_pallas = rt.search_impl == "kernel" and not on_cpu
+        peaks_impl = "pallas" if use_pallas else "scan"
+        chain_impl = "pallas" if use_pallas else "scan"
 
         while pending or any(s is not None for s in slots):
             for i in range(B):

@@ -138,3 +138,18 @@ def test_device_search_matches_kdtree_oracle(pore6, tiny_genome):
         ref = dict(zip(oi.tolist(), od.tolist()))
         for w_, d_ in zip(got.tolist(), gotd.tolist()):
             assert abs(ref[w_] - d_) < 1e-5
+
+
+def test_native_masks_match_numpy(tiny_genome):
+    from sigmap_tpu import native
+    from sigmap_tpu.io.fasta import ReferenceSequence
+
+    name, codes = tiny_genome[0]
+    s = ReferenceSequence(name, codes[:20000])
+    s.prepare_negative()
+    pm_py, nm_py = masked_positions([s], 11, 0.0002)
+    out = native.kmer_masks([s.codes], [s.neg_codes], 11, 0.0002)
+    if out is None:
+        pytest.skip("native lib unavailable")
+    np.testing.assert_array_equal(pm_py[0], out[0][0])
+    np.testing.assert_array_equal(nm_py[0], out[1][0])
