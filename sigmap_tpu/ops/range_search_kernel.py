@@ -16,7 +16,7 @@ candidate ranges directly:
   written to per-seed output slots, so only real matches ever leave the
   kernel.
 
-Scalar-prefetched range tables index the grid: program g handles
+Per-program SMEM range tables: program g handles
 SEEDS_PER_PROG seeds x R ranges.
 """
 
@@ -31,12 +31,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 SUB = 2048          # candidate columns per DMA chunk
-SEEDS_PER_PROG = 4
+SEEDS_PER_PROG = 8
 BIG = 2.0**30
 
 
 def _kernel(
-    starts_ref, lens_ref,        # scalar prefetch [G, S, R] i32
+    starts_ref, lens_ref,        # [S, R] i32 SMEM blocks (per program)
     queries_ref,                 # [S, 8] f32 VMEM
     wt_ref,                      # [8, Nw] f32 ANY (HBM)
     out_idx_ref,                 # [S, M] i32
@@ -45,7 +45,6 @@ def _kernel(
     buf, sem,                    # scratch: [2, 8, SUB] f32, DMA sems [2]
     *, radius, R, M, n_windows,
 ):
-    g = pl.program_id(0)
     S = SEEDS_PER_PROG
 
     def dma(slot, start, width):
@@ -68,15 +67,15 @@ def _kernel(
         # wt must be padded with >= SUB trailing columns so the fixed-width
         # DMA never runs past the array (see wrapper).
         def start_first(r, slot):
-            @pl.when(lens_ref[g, s, r] > 0)
+            @pl.when(lens_ref[s, r] > 0)
             def _():
-                dma(slot, starts_ref[g, s, r], SUB).start()
+                dma(slot, starts_ref[s, r], SUB).start()
 
         start_first(0, 0)
 
         def range_loop(r, cnt):
-            start = starts_ref[g, s, r]
-            length = lens_ref[g, s, r]
+            start = starts_ref[s, r]
+            length = lens_ref[s, r]
             slot = jax.lax.rem(r, 2)
 
             @pl.when(r + 1 < R)
@@ -171,25 +170,24 @@ def range_search_pallas(
     Q = starts.shape[0]
     S = SEEDS_PER_PROG
     G = Q // S
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+    grid_spec = dict(
         grid=(G,),
         in_specs=[
-            pl.BlockSpec((S, 8), lambda g, *_: (g, 0),
+            pl.BlockSpec((S, R), lambda g: (g, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((S, R), lambda g: (g, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((S, 8), lambda g: (g, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((S, M), lambda g, *_: (g, 0),
+            pl.BlockSpec((S, M), lambda g: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, M), lambda g, *_: (g, 0),
+            pl.BlockSpec((S, M), lambda g: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, 1), lambda g, *_: (g, 0),
+            pl.BlockSpec((S, 1), lambda g: (g, 0),
                          memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((2, 8, SUB), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     nw = wt.shape[1]
@@ -197,16 +195,17 @@ def range_search_pallas(
         partial(
             _kernel, radius=radius, R=R, M=M, n_windows=nw,
         ),
-        grid_spec=grid_spec,
+        **grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((Q, M), jnp.int32),
             jax.ShapeDtypeStruct((Q, M), jnp.float32),
             jax.ShapeDtypeStruct((Q, 1), jnp.int32),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((3, 8, SUB), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(
-        starts.reshape(G, S, -1), lens.reshape(G, S, -1),
-        queries, wt,
-    )
+    )(starts, lens, queries, wt)
     return out_idx, out_dist, out_cnt[:, 0]
