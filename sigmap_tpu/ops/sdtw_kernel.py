@@ -42,10 +42,12 @@ def _kernel(tr_ref, q_ref, tlen_ref, qlen_ref, best_ref, end_ref,
     last_col = qlen - 1                              # per-pair last column
 
     def shift_down(x, fill):
-        # x[j-1] with boundary row = fill
-        return jnp.concatenate(
-            [jnp.full((1, B), fill, x.dtype), x[:-1, :]], axis=0
-        )
+        # x[j-1] with boundary row = fill (roll+mask: concatenating a
+        # [1,B] row with a [Q-1,B] strided slice crashes Mosaic's
+        # vector_extract_strided_slice)
+        rolled = pltpu.roll(x, shift=1, axis=0)
+        fill_arr = jnp.full((Q, B), fill, x.dtype)
+        return jnp.where(row == 0, fill_arr, rolled)
 
     def body(d, state):
         prev, prev2, best, besti = state
@@ -77,11 +79,13 @@ def _kernel(tr_ref, q_ref, tlen_ref, qlen_ref, best_ref, end_ref,
         besti = jnp.where(better, i_here, besti)
         return (cur, prev, best, besti)
 
+    # derive inits from data so their Mosaic layouts are concrete (constant
+    # inits get replicated layouts and the loop carry fails to relayout)
     init = (
-        jnp.full((Q, B), BIG, jnp.float32),   # prev (d-1)
-        jnp.full((Q, B), BIG, jnp.float32),   # prev2 (d-2)
-        jnp.full((1, B), BIG, jnp.float32),
-        jnp.full((1, B), -1, jnp.int32),
+        q * 0.0 + BIG,                        # prev (d-1)
+        q * 0.0 + BIG,                        # prev2 (d-2)
+        qlen.astype(jnp.float32) * 0.0 + BIG,
+        qlen * 0 - 1,
     )
     _, _, best, besti = jax.lax.fori_loop(0, T + Q - 1, body, init)
     best_ref[0, :] = best[0, :]
