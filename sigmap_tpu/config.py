@@ -114,9 +114,12 @@ class RuntimeConfig:
     surv_per_tile: int = 262144   # stage-2 survivors per tile
     matches_per_tile: int = 32768
     autotune_search: bool = True  # size candidate budgets from the index
-    # radius-search backend: "xla" (portable), "kernel" (Pallas TPU fast
-    # path), "kernel_interpret" (kernel on CPU for testing)
+    # radius-search backend: "xla" (portable), "kernel" (Pallas TPU),
+    # "kernel_interpret" (kernel on CPU for testing), "flat" (one-stage
+    # hash-probe search; fastest on TPU)
     search_impl: str = "xla"
+    # total per-round candidate-slot budget for the "flat" engine
+    flat_t_cap: int = 1 << 22
     use_native_chainer: bool = True
     interpret_pallas: bool = False  # pallas interpreter mode (CPU testing)
 

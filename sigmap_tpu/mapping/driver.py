@@ -397,6 +397,7 @@ class Mapper:
         on_cpu = jax.default_backend() == "cpu"
         interpret = rt.search_impl == "kernel_interpret" or on_cpu
         use_pallas = rt.search_impl == "kernel" and not on_cpu
+        search_impl = "flat" if rt.search_impl == "flat" else "kernel"
         peaks_impl = "pallas" if use_pallas else "scan"
         chain_impl = "pallas" if use_pallas else "scan"
 
@@ -427,7 +428,8 @@ class Mapper:
                 step=m.step_size, a_cap=8192, carry_cap=CARRY,
                 ed_cfg=self.cfg.event, chain_cfg=self.cfg.chain,
                 search_interpret=interpret, peaks_impl=peaks_impl,
-                chain_impl=chain_impl,
+                chain_impl=chain_impl, search_impl=search_impl,
+                t_cap=rt.flat_t_cap,
             )
             summary_f, summary_i, counts, carry, offsets, ovf = out
             sf = np.asarray(summary_f)

@@ -47,7 +47,7 @@ NEG = jnp.float32(-1e30)
     static_argnames=(
         "step", "s_max", "a_cap", "carry_cap", "m_per_seed", "trace_max",
         "dim", "ed_cfg", "chain_cfg", "search_interpret", "peaks_impl",
-        "chain_impl",
+        "chain_impl", "search_impl", "t_cap",
     ),
 )
 def fast_round(
@@ -72,6 +72,8 @@ def fast_round(
     search_interpret: bool = False,
     peaks_impl: str = "scan",
     chain_impl: str = "scan",
+    search_impl: str = "kernel",
+    t_cap: int = 1 << 22,
 ):
     B, C = chunks.shape
     CARRY = carry_t.shape[1]
@@ -116,39 +118,8 @@ def fast_round(
     total_seeds = n_seeds.sum()
     seed_valid = jnp.arange(QCAP) < total_seeds
 
-    # ---- 3. radius search (Pallas kernel) ---------------------------------
-    from .seeding import _probe_ranges_merged
-    from ..ops.range_search_kernel import range_search_pallas
-
-    starts, lens = _probe_ranges_merged(dev, seeds, seed_valid)
-    row_cum = jnp.cumsum(lens, axis=1)
-    allowed = jnp.clip(dev.params.cap_per_seed - (row_cum - lens), 0, None)
-    lens = jnp.minimum(lens, allowed)
-    m_idx, m_dist, m_cnt = range_search_pallas(
-        starts, lens, seeds, dev.WT, dev.params.radius, R=starts.shape[1],
-        M=m_per_seed, interpret=search_interpret,
-    )
-    match_ovf = jnp.any(m_cnt > m_per_seed)
-    m_cnt = jnp.minimum(m_cnt, m_per_seed).astype(jnp.int32)
-
-    # ---- 4. anchor assembly into per-read rows ----------------------------
+    # ---- 3+4. radius search + anchor assembly into per-read rows ----------
     carry_n = (carry_g >= 0).sum(axis=1).astype(jnp.int32)     # [B]
-    # per-seed output base within its read row
-    cum = jnp.cumsum(m_cnt).astype(jnp.int32)
-    excl = cum - m_cnt
-    read_first_excl = excl[jnp.clip(base, 0, QCAP - 1)]        # [B]
-    seed_rel = excl - read_first_excl[seed_read]               # [QCAP]
-    anchor_ovf = jnp.any(carry_n[seed_read] + seed_rel + m_cnt > a_cap)
-
-    mk = jnp.arange(m_per_seed, dtype=jnp.int32)
-    slot = (
-        carry_n[seed_read][:, None] + seed_rel[:, None] + mk[None, :]
-    )                                                          # [QCAP, M]
-    ok = (mk[None, :] < m_cnt[:, None]) & seed_valid[:, None]
-    slot = jnp.where(ok & (slot < a_cap), slot, a_cap)
-    rows = jnp.broadcast_to(seed_read[:, None], (QCAP, m_per_seed))
-
-    widx = dev.perm[m_idx]                                     # original idx
     a_t = jnp.zeros((B, a_cap + 1), jnp.int32)
     a_q = jnp.zeros((B, a_cap + 1), jnp.int32)
     a_d = jnp.zeros((B, a_cap + 1), jnp.float32)
@@ -164,14 +135,80 @@ def fast_round(
     a_g = a_g.at[bsel, cpos].set(
         jnp.where(carry_g >= 0, carry_g, -1), mode="drop"
     )
-    a_t = a_t.at[rows, slot].set(dev.win_pos[widx], mode="drop")
-    a_q = a_q.at[rows, slot].set(
-        jnp.broadcast_to(seed_qpos[:, None], slot.shape), mode="drop"
-    )
-    a_d = a_d.at[rows, slot].set(m_dist, mode="drop")
-    a_g = a_g.at[rows, slot].set(
-        jnp.where(ok, dev.win_group[widx], -1), mode="drop"
-    )
+
+    if search_impl == "flat":
+        # one-stage flat search: hash probe -> flat slots -> one W8 row
+        # gather -> distance -> direct scatter into per-read anchor rows
+        from .seeding import search_round_flat
+
+        sid, cand, d2, match, offs, _nc, sovf = search_round_flat(
+            dev, seeds, seed_valid, t_cap
+        )
+        match_ovf = sovf[1]
+        Pp = (offs.shape[0] - 1) // QCAP  # probe spans per seed
+        cm = jnp.cumsum(match).astype(jnp.int32)               # inclusive
+        cme = cm - match.astype(jnp.int32)                     # exclusive
+        # read r's first slot = offs[first range of its first seed]
+        read_first_slot = offs[jnp.clip(base * Pp, 0, offs.shape[0] - 1)]
+        read_first_match = cme[
+            jnp.clip(read_first_slot, 0, t_cap - 1)
+        ]                                                      # [B]
+        slot_read = seed_read[sid]                             # [T]
+        rank_in_read = cm - 1 - read_first_match[slot_read]
+        slotw = carry_n[slot_read] + rank_in_read
+        anchor_ovf = jnp.any(match & (slotw >= a_cap))
+        slotw = jnp.where(match & (slotw < a_cap), slotw, a_cap)
+        a_t = a_t.at[slot_read, slotw].set(
+            dev.pos_sorted[cand], mode="drop"
+        )
+        a_q = a_q.at[slot_read, slotw].set(seed_qpos[sid], mode="drop")
+        a_d = a_d.at[slot_read, slotw].set(d2, mode="drop")
+        a_g = a_g.at[slot_read, slotw].set(
+            dev.group_sorted[cand], mode="drop"
+        )
+    else:
+        from .seeding import _probe_ranges_merged
+        from ..ops.range_search_kernel import range_search_pallas
+
+        starts, lens = _probe_ranges_merged(dev, seeds, seed_valid)
+        row_cum = jnp.cumsum(lens, axis=1)
+        allowed = jnp.clip(
+            dev.params.cap_per_seed - (row_cum - lens), 0, None
+        )
+        lens = jnp.minimum(lens, allowed)
+        m_idx, m_dist, m_cnt = range_search_pallas(
+            starts, lens, seeds, dev.WT, dev.params.radius,
+            R=starts.shape[1], M=m_per_seed, interpret=search_interpret,
+        )
+        match_ovf = jnp.any(m_cnt > m_per_seed)
+        m_cnt = jnp.minimum(m_cnt, m_per_seed).astype(jnp.int32)
+
+        # per-seed output base within its read row
+        cum = jnp.cumsum(m_cnt).astype(jnp.int32)
+        excl = cum - m_cnt
+        read_first_excl = excl[jnp.clip(base, 0, QCAP - 1)]    # [B]
+        seed_rel = excl - read_first_excl[seed_read]           # [QCAP]
+        anchor_ovf = jnp.any(
+            carry_n[seed_read] + seed_rel + m_cnt > a_cap
+        )
+
+        mk = jnp.arange(m_per_seed, dtype=jnp.int32)
+        slot = (
+            carry_n[seed_read][:, None] + seed_rel[:, None] + mk[None, :]
+        )                                                      # [QCAP, M]
+        ok = (mk[None, :] < m_cnt[:, None]) & seed_valid[:, None]
+        slot = jnp.where(ok & (slot < a_cap), slot, a_cap)
+        rows = jnp.broadcast_to(seed_read[:, None], (QCAP, m_per_seed))
+
+        widx = dev.perm[m_idx]                                 # original idx
+        a_t = a_t.at[rows, slot].set(dev.win_pos[widx], mode="drop")
+        a_q = a_q.at[rows, slot].set(
+            jnp.broadcast_to(seed_qpos[:, None], slot.shape), mode="drop"
+        )
+        a_d = a_d.at[rows, slot].set(m_dist, mode="drop")
+        a_g = a_g.at[rows, slot].set(
+            jnp.where(ok, dev.win_group[widx], -1), mode="drop"
+        )
     a_t, a_q, a_d, a_g = (x[:, :a_cap] for x in (a_t, a_q, a_d, a_g))
 
     # ---- 5. per-read sort by (group, target, query) -----------------------

@@ -61,13 +61,56 @@ class SearchParams:
         return self.seeds_per_tile * self.cap_per_seed
 
 
+# Knuth multiplicative hash over int32 cell keys (keys < 35^6 < 2^31).
+HASH_MULT = 2654435761
+
+
+def build_cell_hash(cell_keys: np.ndarray, cell_starts: np.ndarray,
+                    entries: int = 4) -> tuple[np.ndarray, int]:
+    """Host-built bucketized hash table: cell key -> (start, len).
+
+    Returns (tbl [H, entries, 3] i32 with rows (key, start, len), bits)
+    where H = 1 << bits.  Empty entries hold key == -1, len == 0.  The
+    table doubles until no bucket overflows; on device a probe is ONE
+    row gather + an `entries`-wide compare (replacing `searchsorted`,
+    which lowers to ~2*log2(K) serial gathers and measures ~10x slower
+    than arithmetic hashing on v5e).
+    """
+    K = len(cell_keys)
+    keys = cell_keys.astype(np.int64)
+    starts = cell_starts[:-1].astype(np.int32)
+    lens = (cell_starts[1:] - cell_starts[:-1]).astype(np.int32)
+    bits = max(10, int(np.ceil(np.log2(max(K, 2)))))
+    while True:
+        H = 1 << bits
+        h = (
+            (keys.astype(np.uint64) * np.uint64(HASH_MULT))
+            & np.uint64(0xFFFFFFFF)
+        ) >> np.uint64(32 - bits)
+        h = h.astype(np.int64)
+        order = np.argsort(h, kind="stable")
+        hs = h[order]
+        first = np.searchsorted(hs, hs)
+        rank = np.arange(K) - first
+        if K == 0 or rank.max(initial=0) < entries:
+            break
+        bits += 1
+    tbl = np.full((1 << bits, entries, 3), -1, np.int32)
+    tbl[..., 2] = 0
+    if K:
+        tbl[hs, rank, 0] = keys[order].astype(np.int32)
+        tbl[hs, rank, 1] = starts[order]
+        tbl[hs, rank, 2] = lens[order]
+    return tbl, bits
+
+
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=[
         "W4", "W8", "WT", "perm", "win_group", "win_pos", "cell_keys",
-        "cell_starts",
+        "cell_starts", "htbl", "pos_sorted", "group_sorted",
     ],
-    meta_fields=["n_windows", "params"],
+    meta_fields=["n_windows", "params", "hash_bits"],
 )
 @dataclass
 class DeviceIndex:
@@ -81,8 +124,12 @@ class DeviceIndex:
     win_pos: jax.Array     # [Nw] i32 (by ORIGINAL window idx)
     cell_keys: jax.Array   # [K] i32 sorted occupied cell keys
     cell_starts: jax.Array  # [K+1] i32
+    htbl: jax.Array        # [H, E, 3] i32 bucketized cell hash (key,start,len)
+    pos_sorted: jax.Array   # [Nw] i32 win_pos in SORTED window order
+    group_sorted: jax.Array  # [Nw] i32 win_group in SORTED window order
     n_windows: int
     params: SearchParams
+    hash_bits: int
 
     @staticmethod
     def from_host(idx: SignalIndex, radius: float = 0.08,
@@ -101,6 +148,8 @@ class DeviceIndex:
             WT[:, : len(W)] = W.T
         else:
             WT = np.zeros((8, 1), np.float32)
+        htbl, hash_bits = build_cell_hash(idx.cell_keys, idx.cell_starts)
+        perm = idx.perm.astype(np.int64)
         return DeviceIndex(
             W4=jnp.asarray(W[:, :4]),
             W8=jnp.asarray(W),
@@ -110,8 +159,12 @@ class DeviceIndex:
             win_pos=jnp.asarray(idx.win_pos, jnp.int32),
             cell_keys=jnp.asarray(idx.cell_keys, jnp.int32),
             cell_starts=jnp.asarray(idx.cell_starts, jnp.int32),
+            htbl=jnp.asarray(htbl),
+            pos_sorted=jnp.asarray(idx.win_pos[perm], jnp.int32),
+            group_sorted=jnp.asarray(idx.win_group[perm], jnp.int32),
             n_windows=idx.n_windows,
             params=params,
+            hash_bits=hash_bits,
         )
 
 
@@ -362,6 +415,118 @@ def search_flat_kernel(dev: DeviceIndex, seeds: jax.Array,
     )
     ovf = jnp.stack([seed_ovf, jnp.bool_(False), match_ovf])
     return f_sid, f_widx, f_dist, total, n_cand, ovf
+
+
+def _lookup_cells(dev: DeviceIndex, key: jax.Array, valid: jax.Array):
+    """Batched hash-table lookup: int32 cell keys -> (start, len).
+
+    One row gather of [E, 3] per key + an E-wide compare; missing cells
+    return len == 0 (every occupied cell holds >= 1 window)."""
+    bits = dev.hash_bits
+    h = (
+        key.astype(jnp.uint32) * jnp.uint32(HASH_MULT)
+    ) >> jnp.uint32(32 - bits)
+    rows = dev.htbl[h.astype(jnp.int32)]              # [..., E, 3]
+    eq = (rows[..., 0] == key[..., None]) & valid[..., None]
+    start = jnp.sum(jnp.where(eq, rows[..., 1], 0), axis=-1)
+    length = jnp.sum(jnp.where(eq, rows[..., 2], 0), axis=-1)
+    return start, length
+
+
+def _probe_ranges_hash(dev: DeviceIndex, q: jax.Array, q_valid: jax.Array):
+    """Hash-probe variant of _probe_ranges_merged: same (starts, lens)
+    [Qt, P'] contract (spans merged over the last bucketed dim), but cell
+    ranges come from the O(1) bucketized hash instead of searchsorted.
+
+    Merging stays exact: within one leading-dim prefix, consecutive
+    last-dim cell keys are consecutive integers, so their window ranges
+    are contiguous in the sorted order (absent cells contribute zero
+    windows in between)."""
+    p = dev.params
+    bd = p.bucket_dims
+    delta = jnp.float32(np.sqrt(p.radius))
+    w = jnp.float32(p.cell_width)
+    off = SignalIndex.CELL_OFFSET
+    radix = SignalIndex.CELL_RADIX
+    qb = q[:, :bd]
+    lo = jnp.clip(
+        jnp.floor((qb - delta) / w).astype(jnp.int32) + off, 0, radix - 1
+    )
+    hi = jnp.clip(
+        jnp.floor((qb + delta) / w).astype(jnp.int32) + off, 0, radix - 1
+    )
+    span = int(np.ceil(2 * np.sqrt(p.radius) / p.cell_width)) + 1
+    probes = np.array(
+        list(itertools.product(range(span), repeat=bd - 1)), np.int32
+    )  # [P', bd-1]
+    coords = lo[:, None, : bd - 1] + jnp.asarray(probes)[None, :, :]
+    pvalid = (
+        jnp.all(coords <= hi[:, None, : bd - 1], axis=-1) & q_valid[:, None]
+    )
+    prefix = jnp.zeros(coords.shape[:2], jnp.int32)
+    for d in range(bd - 1):
+        prefix = prefix * radix + coords[..., d]
+    # last-dim cells lo..hi (<= span of them), one hash lookup each
+    s = jnp.arange(span, dtype=jnp.int32)
+    keys = prefix[..., None] * radix + (
+        lo[:, None, None, bd - 1] + s[None, None, :]
+    )                                                  # [Qt, P', span]
+    kvalid = pvalid[..., None] & (
+        lo[:, None, None, bd - 1] + s[None, None, :]
+        <= hi[:, None, None, bd - 1]
+    )
+    cstart, clen = _lookup_cells(dev, keys, kvalid)    # [Qt, P', span]
+    found = clen > 0
+    INF = jnp.int32(2**31 - 1)
+    first = jnp.min(jnp.where(found, cstart, INF), axis=-1)
+    last = jnp.max(jnp.where(found, cstart + clen, -1), axis=-1)
+    any_found = jnp.any(found, axis=-1)
+    starts = jnp.where(any_found, first, 0)
+    lens = jnp.where(any_found, last - first, 0)
+    return starts, lens
+
+
+def search_round_flat(dev: DeviceIndex, seeds: jax.Array,
+                      seed_valid: jax.Array, t_cap: int):
+    """One-stage flat radius search over a whole round's seeds.
+
+    seeds must be ordered read-major (all of read 0's seeds, then read
+    1's, ...) so downstream per-read compaction can use one global
+    cumsum.  Returns per-SLOT flat arrays of length t_cap:
+      (sid, widx_sorted, d2, match, offs, n_cand, ovf)
+    where offs[r] is range r's first slot (ranges = seeds x P' probe
+    spans, row-major), widx_sorted indexes the SORTED window order
+    (gather dev.pos_sorted/group_sorted, or dev.perm for original ids),
+    and match marks slots whose full squared distance beats the strict
+    < radius test (nanoflann.hpp:249).
+    """
+    p = dev.params
+    starts, lens = _probe_ranges_hash(dev, seeds, seed_valid)  # [Q, P']
+    row_cum = jnp.cumsum(lens, axis=1)
+    allowed = jnp.clip(p.cap_per_seed - (row_cum - lens), 0, None)
+    seed_ovf = jnp.any(lens > allowed)
+    lens = jnp.minimum(lens, allowed)
+    n_cand = lens.sum()
+
+    flat_starts = starts.reshape(-1)
+    flat_lens = lens.reshape(-1)
+    offs = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32),
+         jnp.cumsum(flat_lens).astype(jnp.int32)]
+    )
+    cand, rid, slot_valid, total = _expand_slots(
+        flat_starts, flat_lens, t_cap
+    )
+    slot_ovf = total > t_cap
+    Pp = starts.shape[1]
+    sid = rid // Pp
+    cand = jnp.where(slot_valid, cand, 0)
+
+    d2 = jnp.sum((dev.W8[cand] - seeds[sid]) ** 2, axis=-1)
+    match = slot_valid & (d2 < p.radius)
+    return sid, cand, d2, match, offs, n_cand, jnp.stack(
+        [seed_ovf, slot_ovf]
+    )
 
 
 @jax.jit

@@ -53,6 +53,71 @@ def test_fast_mode_accuracy(setup):
     assert correct == mapped
 
 
+def test_flat_engine_matches_kernel_engine(setup):
+    """The one-stage hash-probe engine must produce the same mappings as
+    the Pallas/interpret kernel engine (identical anchor sets feed the
+    same chaining; only assembly order within a read differs and the
+    per-read sort cancels that)."""
+    import dataclasses
+
+    idx, reads, signals = setup
+    flat_cfg = dataclasses.replace(
+        CFG, runtime=dataclasses.replace(
+            CFG.runtime, search_impl="flat", flat_t_cap=1 << 20
+        )
+    )
+    kern = {r.read_name: r for r in Mapper(idx, CFG).streaming_map_fast(
+        signals)}
+    flat = {r.read_name: r for r in Mapper(idx, flat_cfg).streaming_map_fast(
+        signals)}
+    assert set(kern) == set(flat)
+    for name in kern:
+        k, f = kern[name], flat[name]
+        assert k.is_mapped == f.is_mapped, name
+        if k.is_mapped:
+            assert (k.ref_index, k.direction) == (f.ref_index, f.direction)
+            assert k.fragment_start == f.fragment_start, name
+            assert k.fragment_length == f.fragment_length, name
+            assert k.mapq == f.mapq, name
+
+
+def test_flat_search_matches_xla_search(setup):
+    """search_round_flat's match set equals search_flat's exactly."""
+    import jax.numpy as jnp
+
+    from sigmap_tpu.mapping.seeding import (
+        DeviceIndex, flatten_matches, pad_seeds, search_flat,
+        search_round_flat,
+    )
+
+    idx, _, _ = setup
+    dev = DeviceIndex.from_host(
+        idx, CFG.mapping.search_radius, seeds_per_tile=32,
+        cap_per_seed=8192, surv_per_tile=65536, matches_per_tile=16384,
+    )
+    rng = np.random.default_rng(3)
+    W = np.asarray(dev.W8)
+    pick = rng.integers(0, dev.n_windows, 100)
+    q = (W[pick] + np.concatenate(
+        [rng.normal(0, 0.1, (100, 6)), np.zeros((100, 2))], 1
+    )).astype(np.float32)
+    seeds, valid, n_tiles = pad_seeds(q, dev.params)
+    out = search_flat(dev, jnp.asarray(seeds), jnp.asarray(valid), n_tiles)
+    sids, widx, _, _, ovf = flatten_matches(out, dev.params)
+    assert not ovf.any()
+    ref = set(zip(sids.tolist(), widx.tolist()))
+
+    sid, cand, d2, match, offs, _, sovf = search_round_flat(
+        dev, jnp.asarray(seeds), jnp.asarray(valid), 1 << 19
+    )
+    assert not np.asarray(sovf).any()
+    m = np.asarray(match)
+    perm = np.asarray(dev.perm)
+    got = set(zip(np.asarray(sid)[m].tolist(),
+                  perm[np.asarray(cand)[m]].tolist()))
+    assert got == ref
+
+
 def test_fast_mode_loci_match_exact_mode(setup):
     idx, reads, signals = setup
     mapper = Mapper(idx, CFG)
