@@ -435,6 +435,20 @@ class Mapper:
             sf = np.asarray(summary_f)
             si = np.asarray(summary_i)
             cnts = np.asarray(counts)
+            ovf_h = np.asarray(ovf)
+            if ovf_h.any():
+                # slot overflow silently drops anchors (undersized
+                # flat_t_cap / a_cap / carry_cap) -> results may be wrong;
+                # mirror the exact path's warning (see _search above)
+                import sys
+
+                print(
+                    "warning: fast-round overflow flags "
+                    f"[match={bool(ovf_h[0])} anchors={bool(ovf_h[1])} "
+                    f"carry={bool(ovf_h[2])}]; raise runtime.flat_t_cap / "
+                    "anchor caps or results may drop anchors",
+                    file=sys.stderr,
+                )
             round_ms = (
                 (time.perf_counter() - t0) * 1000
                 / max(1, sum(s is not None for s in slots))

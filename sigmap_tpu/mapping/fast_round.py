@@ -144,7 +144,10 @@ def fast_round(
         sid, cand, d2, match, offs, _nc, sovf = search_round_flat(
             dev, seeds, seed_valid, t_cap
         )
-        match_ovf = sovf[1]
+        # sovf[0]: per-seed candidate truncation; sovf[1]: flat slot-space
+        # (t_cap) overflow — both mean matches were silently dropped, so
+        # both surface through the round's match-overflow flag.
+        match_ovf = sovf[0] | sovf[1]
         Pp = (offs.shape[0] - 1) // QCAP  # probe spans per seed
         cm = jnp.cumsum(match).astype(jnp.int32)               # inclusive
         cme = cm - match.astype(jnp.int32)                     # exclusive

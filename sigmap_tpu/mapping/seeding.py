@@ -66,7 +66,8 @@ HASH_MULT = 2654435761
 
 
 def build_cell_hash(cell_keys: np.ndarray, cell_starts: np.ndarray,
-                    entries: int = 4) -> tuple[np.ndarray, int]:
+                    entries: int = 4, min_bits: int = 10
+                    ) -> tuple[np.ndarray, int]:
     """Host-built bucketized hash table: cell key -> (start, len).
 
     Returns (tbl [H, entries, 3] i32 with rows (key, start, len), bits)
@@ -80,8 +81,12 @@ def build_cell_hash(cell_keys: np.ndarray, cell_starts: np.ndarray,
     keys = cell_keys.astype(np.int64)
     starts = cell_starts[:-1].astype(np.int32)
     lens = (cell_starts[1:] - cell_starts[:-1]).astype(np.int32)
-    bits = max(10, int(np.ceil(np.log2(max(K, 2)))))
+    bits = max(min_bits, int(np.ceil(np.log2(max(K, 2)))))
     while True:
+        # _lookup_cells indexes htbl with a signed int32 hash; keys are
+        # < 35^6 < 2^31 so the Knuth multiply stays collision-free well
+        # before this bound is ever approached.
+        assert bits < 32, "cell hash table would overflow int32 indexing"
         H = 1 << bits
         h = (
             (keys.astype(np.uint64) * np.uint64(HASH_MULT))

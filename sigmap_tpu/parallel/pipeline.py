@@ -45,8 +45,9 @@ def make_mesh(n_data: int, n_index: int, devices=None) -> Mesh:
     jax.tree_util.register_dataclass,
     data_fields=[
         "W4", "W8", "win_group", "win_pos", "cell_keys", "cell_starts",
+        "htbl",
     ],
-    meta_fields=["params", "n_shards"],
+    meta_fields=["params", "n_shards", "hash_bits"],
 )
 @dataclass
 class ShardedIndex:
@@ -58,8 +59,10 @@ class ShardedIndex:
     win_pos: jax.Array     # [S, nw_pad]
     cell_keys: jax.Array   # [S, K_pad]
     cell_starts: jax.Array  # [S, K_pad + 1]
+    htbl: jax.Array        # [S, H, E, 3] per-shard cell hash (common bits)
     params: SearchParams
     n_shards: int
+    hash_bits: int
 
     @staticmethod
     def build(idx: SignalIndex, n_shards: int, radius: float = 0.08,
@@ -114,13 +117,28 @@ class ShardedIndex:
             )
             cs = starts_per[s].astype(np.int32)
             csts.append(pad2(cs, K_pad + 1, cs[-1]))
+        # per-shard cell hash tables at one common size so they stack
+        from ..mapping.seeding import build_cell_hash
+
+        probe = [
+            build_cell_hash(keys_per[s].astype(np.int64),
+                            starts_per[s].astype(np.int64))
+            for s in range(n_shards)
+        ]
+        bits = max(b for _, b in probe)
+        htbls = [
+            build_cell_hash(keys_per[s].astype(np.int64),
+                            starts_per[s].astype(np.int64), min_bits=bits)[0]
+            for s in range(n_shards)
+        ]
         return ShardedIndex(
             W4=jnp.asarray(np.stack(W4s)), W8=jnp.asarray(np.stack(W8s)),
             win_group=jnp.asarray(np.stack(grps)),
             win_pos=jnp.asarray(np.stack(poss)),
             cell_keys=jnp.asarray(np.stack(keys)),
             cell_starts=jnp.asarray(np.stack(csts)),
-            params=params, n_shards=n_shards,
+            htbl=jnp.asarray(np.stack(htbls)),
+            params=params, n_shards=n_shards, hash_bits=bits,
         )
 
     def place(self, mesh: Mesh) -> "ShardedIndex":
@@ -130,7 +148,9 @@ class ShardedIndex:
             W4=put(self.W4), W8=put(self.W8),
             win_group=put(self.win_group), win_pos=put(self.win_pos),
             cell_keys=put(self.cell_keys), cell_starts=put(self.cell_starts),
+            htbl=put(self.htbl),
             params=self.params, n_shards=self.n_shards,
+            hash_bits=self.hash_bits,
         )
 
 
@@ -138,7 +158,9 @@ def _local_device_index(sh: ShardedIndex) -> DeviceIndex:
     """View one shard's arrays (already squeezed) as a DeviceIndex.
 
     perm is identity here: shard windows are pre-sorted and carry their own
-    metadata, so search results index the local sorted array directly.
+    metadata (win_pos/win_group are stored in sorted-window order), so
+    search results index the local sorted array directly and
+    pos_sorted/group_sorted coincide with win_pos/win_group.
     """
     nw = sh.W4.shape[0]
     return DeviceIndex(
@@ -147,7 +169,8 @@ def _local_device_index(sh: ShardedIndex) -> DeviceIndex:
         perm=jnp.arange(nw, dtype=jnp.int32),
         win_group=sh.win_group, win_pos=sh.win_pos,
         cell_keys=sh.cell_keys, cell_starts=sh.cell_starts,
-        n_windows=nw, params=sh.params,
+        htbl=sh.htbl, pos_sorted=sh.win_pos, group_sorted=sh.win_group,
+        n_windows=nw, params=sh.params, hash_bits=sh.hash_bits,
     )
 
 

@@ -110,8 +110,12 @@ def run_one(which):
         win_pos=jax.ShapeDtypeStruct((nw,), i32),
         cell_keys=jax.ShapeDtypeStruct((100_000,), i32),
         cell_starts=jax.ShapeDtypeStruct((100_001,), i32),
+        htbl=jax.ShapeDtypeStruct((1 << 17, 4, 3), i32),
+        pos_sorted=jax.ShapeDtypeStruct((nw,), i32),
+        group_sorted=jax.ShapeDtypeStruct((nw,), i32),
         n_windows=nw,
         params=SearchParams(),
+        hash_bits=17,
     )
     if want("search_flat_kernel"): ok &= check(
         "search_flat_kernel",
