@@ -75,6 +75,12 @@ class SweepIndex:
         """Re-sort a SignalIndex's windows by the sweep grid and tile them."""
         nw = idx.n_windows
         dim = idx.dim
+        if dim < SWEEP_DIMS:
+            raise ValueError(
+                f"sweep layout keys windows over {SWEEP_DIMS} dims; "
+                f"index dim {dim} < {SWEEP_DIMS} is not supported "
+                "(the search-side key computation hardcodes 4-dim keys)"
+            )
         bd = min(SWEEP_DIMS, dim)
         w = 2.0 * float(np.sqrt(radius))
         if idx.win_group is None:

@@ -10,7 +10,11 @@ Semantics: identical match set to the reference k-d radius search
 (strict d^2 < radius, spatial_index.cc:366 + nanoflann.hpp:249), with
 per-seed output truncated to K slots (the reference caps at 5000/seed,
 spatial_index.cc:290); exact totals are returned so truncation is
-observable.
+observable.  One caveat: d^2 is evaluated via the expansion
+|q|^2 + |w|^2 - 2 q.w in f32 (MXU-friendly), while nanoflann accumulates
+(q-w)^2 directly — pairs within ~1e-4 of the radius boundary can flip
+between the two roundings, so the match SET is exact only up to that
+boundary band (tests use a 5e-4 distance tolerance accordingly).
 """
 
 from __future__ import annotations
@@ -59,17 +63,16 @@ def seed_cell_bounds(seeds: jax.Array, radius: float):
     return jnp.stack(klos, axis=1), jnp.stack(khis, axis=1)
 
 
-@partial(jax.jit, static_argnames=("K", "TILE", "E", "radius", "dim",
+@partial(jax.jit, static_argnames=("K", "TILE", "radius", "dim",
                                   "block", "interpret"))
 def sweep_round(
     seeds: jax.Array,     # [Q, 8] f32 (invalid/padded seeds = SEED_PAD)
     cum: jax.Array,       # [R^4 + 1] i32 dense cumulative cell table
     tiles: jax.Array,     # [T, 8, TILE] f32
-    meta: jax.Array,      # [T, TILE] i32
+    meta: jax.Array,      # [T, 8, TILE//8] i32
     radius: float,
     K: int = 16,
     TILE: int = 1024,
-    E: int = 2,
     dim: int = 6,
     block: int = BLOCK,
     interpret: bool = False,
@@ -141,7 +144,7 @@ def sweep_round(
     ).T  # [17, G]
     m_meta, m_d2, m_cnt = sweep_search(
         seeds_s, blockmeta, tiles, meta,
-        radius=radius, K=K, TILE=TILE, E=E, dim=dim, block=block,
+        radius=radius, K=K, TILE=TILE, dim=dim, block=block,
         interpret=interpret,
     )
     iperm = iperm[:Q0]

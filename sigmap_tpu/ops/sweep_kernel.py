@@ -7,19 +7,19 @@ Measured on this chip, XLA row gathers run at ~2.4 GB/s and per-range DMA
 walks are latency-bound; the sweep instead:
 
 * sorts the round's seeds by their coarse grid cell key (XLA-side), so a
-  block of 32 consecutive seeds probes a narrow, contiguous band of the
-  cell-sorted window array (index/sweep.py);
+  block of BLOCK (default 128) consecutive seeds probes a narrow,
+  contiguous band of the cell-sorted window array (index/sweep.py);
 * per (seed-block, probe offset), streams the UNION of the block's
   candidate ranges as whole pre-tiled [8, TILE] window tiles — large
   contiguous DMAs, double-buffered across the flattened (offset, tile)
   sequence;
-* evaluates exact f32 squared distances for all 32 seeds x TILE windows
-  densely on the VPU (strict d^2 < radius — nanoflann.hpp:249 parity; the
-  union slop only adds evaluations that fail the test, never changes the
-  match set);
-* extracts matches with an iterated min-extract loop (<= E per seed per
-  tile) into K per-seed output slots, with exact total-match counts so
-  truncation is observable.
+* evaluates exact f32 squared distances for all BLOCK seeds x TILE
+  windows densely on the MXU/VPU (strict d^2 < radius — nanoflann.hpp:249
+  parity; the union slop only adds evaluations that fail the test, never
+  changes the match set);
+* extracts matches with an iterated min-extract while-loop that drains
+  every match in the tile (up to K per-seed output slots), with exact
+  total-match counts so K-truncation is observable.
 
 Work model: pair-evaluations ~= 8 offsets x 32 block seeds x N windows,
 independent of the number of seeds — so bigger read batches amortize the
@@ -46,12 +46,12 @@ def _kernel(
                    # (transposed: SMEM lane-pads the last dim to 128)
     seeds_ref,     # [BLOCK, 8] f32 VMEM
     tiles_ref,     # [T, 8, TILE] f32 ANY (HBM)
-    meta_ref,      # [T, TILE] i32 ANY (HBM)
+    meta_ref,      # [T, 8, TILE//8] i32 ANY (HBM)
     out_meta_ref,  # [BLOCK, K] i32
     out_d2_ref,    # [BLOCK, K] f32
     out_cnt_ref,   # [BLOCK, 2] i32 (total matches, written slots)
     wbuf, mbuf, sem, msem,
-    *, radius, K, TILE, E, dim, block,
+    *, radius, K, TILE, dim, block,
 ):
     g = pl.program_id(0)
     BLOCK = block
@@ -112,7 +112,7 @@ def _kernel(
         rowsz = TILE // 8
         mcol = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, rowsz), 1)
 
-        def extract(_, ec):
+        def extract(ec):
             # carry (masked distances, write cursor): carrying an i1 mask
             # through cond/fori trips a Mosaic layout bug, so extracted
             # lanes are retired by setting their distance to INF instead
@@ -146,10 +146,18 @@ def _kernel(
             )
             return (jnp.where(sel, INF, d2m), c_wrote + put.astype(jnp.int32))
 
+        def more(ec):
+            # drain until every seed's tile matches are extracted or its K
+            # output slots are full (full seeds keep retiring lanes, so the
+            # loop always terminates within TILE iterations)
+            d2m, c_wrote = ec
+            mn = jnp.min(d2m, axis=1, keepdims=True)
+            return jnp.any((mn < radius) & (c_wrote < K))
+
         # extraction only when the tile has any match (common tiles don't)
         _, wrote2 = jax.lax.cond(
             jnp.sum(nrow) > 0,
-            lambda mw: jax.lax.fori_loop(0, E, extract, mw),
+            lambda mw: jax.lax.while_loop(more, extract, mw),
             lambda mw: mw,
             (jnp.where(match, acc, INF), wrote),
         )
@@ -165,18 +173,17 @@ def _kernel(
     out_cnt_ref[:, pl.ds(1, 1)] = wrote
 
 
-@partial(jax.jit, static_argnames=("K", "TILE", "E", "radius", "dim",
+@partial(jax.jit, static_argnames=("K", "TILE", "radius", "dim",
                                   "block", "interpret"))
 def sweep_search(
     seeds: jax.Array,      # [Q, 8] f32, Q multiple of BLOCK, cell-key SORTED
     blockmeta: jax.Array,  # [17, Q//BLOCK] i32: rows 0..7 first tile per
                            # (block, offset); rows 8..16 excl. tile cumsum
     tiles: jax.Array,   # [T, 8, TILE] f32
-    meta: jax.Array,    # [T, TILE] i32
+    meta: jax.Array,    # [T, 8, TILE//8] i32
     radius: float,
     K: int = 16,
     TILE: int = 1024,
-    E: int = 2,
     dim: int = 6,
     block: int = BLOCK,
     interpret: bool = False,
@@ -185,7 +192,7 @@ def sweep_search(
 
     m_cnt[:, 0] = exact total matches (the reference's per-seed anchor
     count before its 5000 cap, spatial_index.cc:290); m_cnt[:, 1] = slots
-    actually written (<= K; fewer when >E matches land in one tile)."""
+    actually written (== min(total, K))."""
     Q = seeds.shape[0]
     G = Q // block
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -213,7 +220,7 @@ def sweep_search(
         ],
     )
     return pl.pallas_call(
-        partial(_kernel, radius=radius, K=K, TILE=TILE, E=E, dim=dim,
+        partial(_kernel, radius=radius, K=K, TILE=TILE, dim=dim,
                 block=block),
         grid_spec=grid_spec,
         out_shape=[

@@ -78,7 +78,7 @@ def test_sweep_matches_brute(small_index):
 
 
 def test_sweep_dense_cluster_truncation(small_index):
-    """Seeds whose matches exceed K: exact totals, wrote == K or E-bound."""
+    """Seeds whose matches exceed K: exact totals, wrote == min(total, K)."""
     import jax.numpy as jnp
 
     cfg, idx = small_index

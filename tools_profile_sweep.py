@@ -49,10 +49,10 @@ def main(genome_mb=2.0, B=256, S=256, K=16, TILE=1024):
     dtiles = jax.device_put(jnp.asarray(sw.tiles))
     dmeta = jax.device_put(jnp.asarray(sw.meta))
 
-    def run(block=32, E=4):
+    def run(block=32):
         return sweep_round(dq, dcum, dtiles, dmeta,
                            radius=cfg.mapping.search_radius, K=K, TILE=TILE,
-                           block=block, E=E)
+                           block=block)
 
     # --- prep-only timing + tile-visit census ---
     import itertools
@@ -100,20 +100,19 @@ def main(genome_mb=2.0, B=256, S=256, K=16, TILE=1024):
     print(f"prep-only: {(time.perf_counter()-t0)/5*1000:.1f} ms", file=sys.stderr)
 
     for block in (32, 64, 128):
-        for E in (0, 2, 4):
-            t0 = time.perf_counter()
-            out = run(block, E)
-            host = tuple(np.asarray(x) for x in out)
-            tc0 = time.perf_counter() - t0
-            reps = 3
-            t0 = time.perf_counter()
-            for _ in range(reps):
-                out = run(block, E)
-                cnt = np.asarray(out[2])
-            dt = (time.perf_counter() - t0) / reps
-            print(f"sweep block={block} E={E}: {dt*1000:.1f} ms "
-                  f"(compile {tc0:.0f}s) matches={int(cnt.sum())} "
-                  f"wrote={int(np.asarray(out[3]).sum())}", file=sys.stderr)
+        t0 = time.perf_counter()
+        out = run(block)
+        host = tuple(np.asarray(x) for x in out)
+        tc0 = time.perf_counter() - t0
+        reps = 3
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = run(block)
+            cnt = np.asarray(out[2])
+        dt = (time.perf_counter() - t0) / reps
+        print(f"sweep block={block}: {dt*1000:.1f} ms "
+              f"(compile {tc0:.0f}s) matches={int(cnt.sum())} "
+              f"wrote={int(np.asarray(out[3]).sum())}", file=sys.stderr)
 
 
 if __name__ == "__main__":
