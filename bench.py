@@ -69,10 +69,8 @@ def accuracy(records, reads):
     return mapped, correct
 
 
-def bench_tpu(cfg, idx, signals, batch, engine="fast"):
+def bench_tpu(cfg, idx, signals, batch, engine="turbo"):
     import dataclasses
-
-    from sigmap_tpu.mapping.driver import Mapper
 
     cfg = dataclasses.replace(
         cfg, runtime=dataclasses.replace(
@@ -80,19 +78,28 @@ def bench_tpu(cfg, idx, signals, batch, engine="fast"):
             search_impl="kernel" if engine == "fast" else "xla",
         )
     )
-    mapper = Mapper(idx, cfg)
-    run = (
-        mapper.streaming_map_fast if engine == "fast"
-        else mapper.streaming_map
-    )
+    if engine == "turbo":
+        from sigmap_tpu.mapping.turbo import TurboMapper
+
+        mapper = TurboMapper(idx, cfg)
+        run = mapper.streaming_map
+    else:
+        from sigmap_tpu.mapping.driver import Mapper
+
+        mapper = Mapper(idx, cfg)
+        run = (
+            mapper.streaming_map_fast if engine == "fast"
+            else mapper.streaming_map
+        )
     log(f"tpu[{engine}]: warmup (compile)...")
     t0 = time.perf_counter()
     run(signals[: min(batch, len(signals))])
-    log(f"tpu[{engine}]: warmup {time.perf_counter()-t0:.1f}s")
+    warmup_s = time.perf_counter() - t0
+    log(f"tpu[{engine}]: warmup {warmup_s:.1f}s")
     t0 = time.perf_counter()
     records = run(signals)
     dt = time.perf_counter() - t0
-    return records, len(signals) / dt, dt
+    return records, len(signals) / dt, dt, warmup_s
 
 
 def bench_cpu_baseline(cfg, idx, signals, threads=4, cap_reads=32):
@@ -139,9 +146,14 @@ def main():
     ap.add_argument("--read-bases", type=int, default=3000)
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--baseline-threads", type=int, default=4)
-    ap.add_argument("--engine", choices=["fast", "exact"], default="fast",
-                    help="TPU path: fast (all-device kernels) or exact")
+    ap.add_argument("--engine", choices=["turbo", "fast", "exact"],
+                    default="turbo",
+                    help="TPU path: turbo (device-resident sweep+fused "
+                         "chain), fast (scatter/sort kernels) or exact")
     args = ap.parse_args()
+    from sigmap_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     if args.smoke:
         genome_mb = args.genome_mb or 0.5
         n_reads = args.reads or 16
@@ -155,7 +167,7 @@ def main():
         genome_mb, n_reads, args.read_bases
     )
 
-    records, tpu_rps, tpu_dt = bench_tpu(
+    records, tpu_rps, tpu_dt, warmup_s = bench_tpu(
         cfg, idx, signals, batch, engine=args.engine
     )
     mapped, correct = accuracy(records, reads)
@@ -190,6 +202,8 @@ def main():
             "baseline_threads": args.baseline_threads,
             "dtw_cell_updates_per_s": round(dtw_cups, 0),
             "index_build_s": round(t_index, 1),
+            "engine": args.engine,
+            "warmup_s": round(warmup_s, 1),
         },
     }))
 

@@ -1,0 +1,473 @@
+"""Turbo engine: device-resident streaming mapping rounds.
+
+The third-generation streaming driver (after the exact host path,
+mapping/driver.py, and the scatter-heavy fast path, mapping/fast_round.py).
+Replaces Sigmap::StreamingMap's per-read OpenMP taskloop
+(/root/reference/src/sigmap.cc:549-880) with a design built around what a
+TPU v5e does fast and what the axon tunnel does NOT (bulk host<->device
+transfers, host round-trips):
+
+* ALL read signals are uploaded once as [B, NC, chunk] and stay resident;
+  a round slices its chunk per read with one row gather — no per-round
+  chunk upload (the fast path uploads B*16 KB per round over a ~30 MB/s
+  tunnel);
+* the search is the streaming merge-join sweep (ops/sweep_kernel.py):
+  cell-sorted window tiles DMA'd contiguously past key-sorted seed blocks,
+  exact d^2 < radius on the MXU/VPU — no gathers, no giant sorts;
+* anchors flow straight from the sweep's [B, S, K] slots into chaining in
+  qpos-major [A, B] layout — a transpose, NOT the [B, 8192] scatter +
+  5-key sort the fast path pays (qpos-major is a valid chaining
+  topological order: predecessors need qdiff > 0, spatial_index.cc:511);
+* chaining + chain selection + carry-out run in one fused Pallas kernel
+  (ops/chain_fused.py) whose ring band replaces the reference's
+  5000-predecessor band and whose inherited chain state replaces
+  traceback (spatial_index.cc:165-220);
+* early-stop rules (sigmap.cc:667-688) are evaluated ON DEVICE; the host
+  sees only a [B] done vector per round, so the whole multi-chunk loop
+  costs one tiny download per round.
+
+Semantic divergences from the exact path (all shared with or tighter than
+fast_round's documented ones): ring-band chaining instead of the full
+5000 band; two-chain selection (best + best non-overlapping) instead of
+<=3 traceback chains, so the mean-score stop rule degenerates to
+(s1+s2)/2; carry-forward keeps the chain frontier (last RING anchor
+states) rather than all member anchors of the best chains; per-seed
+matches cap at K (reference: 5000, spatial_index.cc:290) with truncation
+observable via the overflow flag; emitted query bounds/tag statistics are
+reconstructed from the best chain's inherited state.  Concordance vs the
+exact path is measured in tests/test_turbo.py and reported in PARITY.md.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ChainingConfig, EventDetectorConfig, MappingConfig, SigmapConfig
+from ..index.build import SignalIndex
+from ..index.sweep import META_POS_BITS, SweepIndex
+from ..io.paf import ChainsSummary, PAFRecord, streaming_tags
+from ..io.signals import ReadSignal
+from ..signal.events import batch_generate_events
+from .sweep_search import SEED_PAD, sweep_round
+
+NEG = jnp.float32(-1e30)
+
+
+@dataclass(frozen=True)
+class TurboParams:
+    """Static shapes of the turbo round (compile-time constants)."""
+
+    S: int = 256          # seed slots per read per chunk
+    K: int = 16           # match slots per seed (reference cap: 5000)
+    RING: int = 64        # chaining band / carry size
+    TILE: int = 1024      # sweep tile width
+    max_events: int = 1024
+    max_features: int = 1024
+    block: int = 128      # sweep seed-block
+    peaks_impl: str = "pallas"   # "scan" on CPU
+
+
+def build_seeds(feats, counts, offsets, S: int, step: int, dim: int,
+                min_feature_length: int):
+    """Feature rows -> padded seed windows.
+
+    Returns (seeds [B, S, 8] f32 with SEED_PAD fill, qpos [B, S] i32,
+    has_f [B] bool, seed_ovf scalar bool)."""
+    B, F = feats.shape
+    has_f = counts > min_feature_length
+    n_seeds = jnp.where(
+        has_f, jnp.clip((counts - dim) // step, 0, S), 0
+    ).astype(jnp.int32)
+    j = jnp.arange(S, dtype=jnp.int32)
+    positions = (j + 1) * step                                    # [S]
+    gidx = jnp.clip(
+        positions[None, :, None] + jnp.arange(8)[None, None, :], 0, F - 1
+    )
+    wins = jnp.take_along_axis(
+        feats[:, :, None] * jnp.ones((1, 1, 8), jnp.float32), gidx, axis=1
+    ) * (jnp.arange(8) < dim)[None, None, :]                      # [B, S, 8]
+    seed_ok = j[None, :] < n_seeds[:, None]                       # [B, S]
+    pad_row = jnp.where(jnp.arange(8) < dim, jnp.float32(SEED_PAD), 0.0)
+    seeds = jnp.where(seed_ok[:, :, None], wins, pad_row[None, None, :])
+    seed_ovf = jnp.any(
+        jnp.where(has_f, (counts - dim) // step, 0) > S
+    )
+    qpos = positions[None, :] + offsets[:, None]                  # [B, S]
+    return seeds, qpos, has_f, seed_ovf
+
+
+def anchors_qpos_major(m_meta, m_d2, wrote, qpos, B: int, S: int, K: int):
+    """Sweep outputs -> chaining inputs in qpos-major [S*K, B] layout."""
+    m_meta = m_meta.reshape(B, S, K)
+    m_d2 = m_d2.reshape(B, S, K)
+    wrote = wrote.reshape(B, S)
+    kk = jnp.arange(K, dtype=jnp.int32)
+    a_valid = kk[None, None, :] < wrote[:, :, None]               # [B, S, K]
+    POS_MASK = (1 << META_POS_BITS) - 1
+    n_t = (m_meta & POS_MASK).transpose(1, 2, 0).reshape(S * K, B)
+    n_g = jnp.where(a_valid, m_meta >> META_POS_BITS, -1)
+    n_g = n_g.transpose(1, 2, 0).reshape(S * K, B)
+    n_d = m_d2.transpose(1, 2, 0).reshape(S * K, B)
+    n_q = jnp.broadcast_to(
+        qpos.T[:, None, :], (S, K, B)
+    ).reshape(S * K, B)
+    return n_t, n_q, n_d, n_g
+
+
+def turbo_round_body(
+    tiles, meta, cum, signals, n_full, chunk_idx, done, stopped, offsets,
+    carry, rb_f, rb_i,
+    p: TurboParams, step: int, radius: float, dim: int,
+    ed_cfg: EventDetectorConfig, chain_cfg: ChainingConfig,
+    m: MappingConfig, interpret: bool = False, merge_matches=None,
+):
+    """One streaming round (traceable body shared by the single-chip jit
+    and the shard_map multi-chip path).
+
+    merge_matches: optional callable (m_meta [Q,K], m_d2, cnt, wrote) ->
+    same shapes, merging per-index-shard results across a mesh axis."""
+    B, NC, Cs = signals.shape
+    S, K = p.S, p.K
+
+    active = ~done & (chunk_idx < n_full) & (chunk_idx < m.max_num_chunks)
+
+    # ---- 1. chunk slice + events ---------------------------------------
+    ch = jnp.take_along_axis(
+        signals, jnp.clip(chunk_idx, 0, NC - 1)[:, None, None], axis=1
+    )[:, 0]
+    clen = jnp.where(active, Cs, 0).astype(jnp.int32)
+    feats, _stdv, counts, _ = batch_generate_events(
+        ch, clen, cfg=ed_cfg, max_events=p.max_events,
+        max_features=p.max_features, compress_delta=m.compress_delta,
+        peaks_impl=p.peaks_impl,
+    )
+    has_f = counts > m.min_feature_length
+
+    # ---- 2. seed windows ------------------------------------------------
+    seeds, qpos, has_f, seed_ovf = build_seeds(
+        feats, counts, offsets, S, step, dim, m.min_feature_length
+    )
+
+    # ---- 3. sweep radius search ------------------------------------------
+    m_meta, m_d2, cnt, wrote = sweep_round(
+        seeds.reshape(B * S, 8), cum, tiles, meta,
+        radius=radius, K=K, TILE=p.TILE, dim=dim, block=p.block,
+        interpret=interpret,
+    )
+    if merge_matches is not None:
+        m_meta, m_d2, cnt, wrote = merge_matches(m_meta, m_d2, cnt, wrote)
+    match_ovf = jnp.any(cnt > K)
+
+    # ---- 4. anchors in qpos-major [A, B] layout --------------------------
+    n_t, n_q, n_d, n_g = anchors_qpos_major(
+        m_meta, m_d2, wrote, qpos, B, S, K
+    )
+
+    # carried anchors occupy rows 0..RING-1
+    c_t, c_q, c_g, c_score, c_stt, c_stq, c_n, c_sumd = carry
+    a_t = jnp.concatenate([c_t, n_t], axis=0)
+    a_q = jnp.concatenate([c_q, n_q], axis=0)
+    a_d = jnp.concatenate([jnp.zeros((p.RING, B), jnp.float32), n_d], axis=0)
+    a_g = jnp.concatenate([jnp.where(c_g == -2, -1, c_g), n_g], axis=0)
+
+    # ---- 5. fused chaining + selection + carry ---------------------------
+    from ..ops.chain_fused import chain_fused
+
+    sum_f, sum_i, new_carry = chain_fused(
+        a_t, a_q, a_d, a_g, c_score, c_stt, c_stq, c_n, c_sumd,
+        radius=radius, dim=dim, ring=p.RING, cfg=chain_cfg,
+        interpret=interpret,
+    )
+    s1 = sum_f[0]
+    s2_raw = sum_f[1]
+    has2 = s2_raw > jnp.float32(chain_cfg.min_chaining_score)
+    s2 = jnp.where(has2, s2_raw, 0.0)
+    nc = 1 + has2.astype(jnp.int32)
+    n1 = sum_i[5]
+    found = active & has_f & (s1 > 0)
+
+    # ---- 6. stop rules (sigmap.cc:667-688) --------------------------------
+    two = found & (nc >= 2) & (s2 > 0)
+    stop = (
+        (two & (s1 / jnp.maximum(s2, 1e-30) >= m.stop_mapping_ratio))
+        | (two & (s1 >= m.stop_mapping_mean_ratio * (s1 + s2) / 2))
+        | (found & (nc == 1) & (n1 >= m.stop_mapping_min_num_anchors))
+    )
+
+    # ---- 7. best-so-far summary ------------------------------------------
+    upd = found & (s1 > rb_f[0])
+    rb_f = jnp.where(upd[None, :], sum_f[:4], rb_f)
+    rb_i_new = jnp.concatenate(
+        [sum_i[:6], nc[None, :], jnp.zeros((1, B), jnp.int32)], axis=0
+    )
+    rb_i = jnp.where(upd[None, :], rb_i_new, rb_i)
+
+    new_offsets = offsets + jnp.where(active & has_f, counts, 0)
+    exhausted = active & (
+        (chunk_idx + 1 >= n_full) | (chunk_idx + 1 >= m.max_num_chunks)
+    )
+    new_done = done | (~active) | stop | exhausted
+    new_stopped = stopped | stop
+    new_chunk_idx = chunk_idx + active.astype(jnp.int32)
+
+    # carry survives across chunks only for still-running reads; for done
+    # reads its content no longer matters (kept as-is)
+    ovf = jnp.stack([match_ovf, seed_ovf])
+    # single packed host signal: [done(B), ovf(2)] — the axon tunnel costs
+    # ~24 ms per blocking transfer, so the driver downloads exactly one
+    # array per round
+    host_sig = jnp.concatenate(
+        [new_done.astype(jnp.uint8), ovf.astype(jnp.uint8)]
+    )
+    return (
+        new_chunk_idx, new_done, new_stopped, new_offsets, new_carry,
+        rb_f, rb_i, counts, ovf, host_sig,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("p", "step", "radius", "dim", "ed_cfg", "chain_cfg",
+                     "m", "interpret"),
+)
+def turbo_round(
+    tiles: jax.Array,      # [T, 8, TILE] f32 sweep index
+    meta: jax.Array,       # [T, 8, TILE//8] i32
+    cum: jax.Array,        # [R^4+1] i32
+    signals: jax.Array,    # [B, NC, Cs] f32 resident chunk-padded signals
+    n_full: jax.Array,     # [B] i32 full chunks per read
+    chunk_idx: jax.Array,  # [B] i32
+    done: jax.Array,       # [B] bool
+    stopped: jax.Array,    # [B] bool (stop rule fired)
+    offsets: jax.Array,    # [B] i32 accumulated feature counts
+    carry: tuple,          # 8 x [RING, B] (t, q, g, score, stt, stq, n, sumd)
+    rb_f: jax.Array,       # [4, B] best-so-far f32 (s1, s2, sumd1, -)
+    rb_i: jax.Array,       # [8, B] best-so-far i32 (g1, tstart, tend,
+                           #   qstart, qend, n1, nc, -)
+    p: TurboParams,
+    step: int,
+    radius: float,
+    dim: int,
+    ed_cfg: EventDetectorConfig,
+    chain_cfg: ChainingConfig,
+    m: MappingConfig,
+    interpret: bool = False,
+):
+    return turbo_round_body(
+        tiles, meta, cum, signals, n_full, chunk_idx, done, stopped,
+        offsets, carry, rb_f, rb_i, p, step, radius, dim, ed_cfg,
+        chain_cfg, m, interpret,
+    )
+
+
+class TurboMapper:
+    """Streaming mapper driving turbo_round over a device-resident batch.
+
+    API mirrors Mapper.streaming_map_fast (mapping/driver.py) but keeps
+    the whole wavefront on device: reads are processed in batches of
+    runtime.read_batch; each batch's signals upload once and rounds run
+    until every read in the batch is done.
+    """
+
+    def __init__(self, index: SignalIndex, config: SigmapConfig = SigmapConfig(),
+                 params: TurboParams | None = None):
+        self.index = index
+        self.cfg = config
+        if index.win_group is None:
+            index.derive_window_metadata()
+        self.num_refs = len(index.ref_names)
+        if params is None:
+            on_cpu = jax.default_backend() == "cpu"
+            params = TurboParams(peaks_impl="scan" if on_cpu else "pallas")
+        self.p = params
+        sw = SweepIndex.build(index, config.mapping.search_radius,
+                              tile=params.TILE)
+        self.tiles = jax.device_put(sw.tiles)
+        self.meta = jax.device_put(sw.meta)
+        self.cum = jax.device_put(sw.cum)
+        self.interpret = jax.default_backend() == "cpu"
+
+    def streaming_map(self, signals: list[ReadSignal]) -> list[PAFRecord]:
+        records: dict[int, PAFRecord] = {}
+        B = self.cfg.runtime.read_batch
+        for base in range(0, len(signals), B):
+            self._map_batch(signals[base : base + B], base, records)
+        return [records[i] for i in range(len(signals)) if i in records]
+
+    # ------------------------------------------------------------------ --
+
+    def _map_batch(self, batch: list[ReadSignal], base: int, records: dict):
+        m = self.cfg.mapping
+        p = self.p
+        Cs = m.chunk_size
+        # pad the slot count to the configured batch so every batch reuses
+        # one compiled round (padding slots have n_full = 0 and never map)
+        B = self.cfg.runtime.read_batch
+        n_full = np.zeros(B, np.int32)
+        for i, s in enumerate(batch):
+            n_full[i] = min(s.length // Cs, m.max_num_chunks)
+        # bucket the chunk capacity to a power of two (one compile per bucket)
+        NC = max(1, int(n_full.max(initial=0)))
+        NC = 1 << (NC - 1).bit_length()
+        sig = np.zeros((B, NC, Cs), np.float32)
+        for i, s in enumerate(batch):
+            L = min(s.length, NC * Cs)
+            flat = sig[i].reshape(-1)
+            flat[:L] = s.pa[:L]
+        state = self._place_state(self._init_state(B))
+        (chunk_idx, done, stopped, offsets, carry, rb_f, rb_i) = state
+        signals_d = self._place_signals(sig)
+        n_full_d = jax.device_put(n_full, getattr(self, "_sh_d", None))
+
+        mt = np.zeros(B)
+        prev_done = n_full == 0
+        done_h = prev_done.copy()
+        rounds = 0
+        ovf_warned = False
+        while not done_h.all():
+            t0 = time.perf_counter()
+            out = self._run_round(
+                signals_d, n_full_d, chunk_idx, done, stopped, offsets,
+                carry, rb_f, rb_i,
+            )
+            (chunk_idx, done, stopped, offsets, carry, rb_f, rb_i,
+             _counts, _ovf, host_sig) = out
+            done_h, ovf_h = self._unpack_host_sig(
+                np.asarray(host_sig), B
+            )
+            round_ms = (time.perf_counter() - t0) * 1000
+            act = ~prev_done
+            n_act = max(1, int(act.sum()))
+            mt[act] += round_ms / n_act
+            prev_done = done_h
+            rounds += 1
+            if ovf_h.any() and not ovf_warned:
+                import sys
+
+                print(
+                    "warning: turbo overflow flags "
+                    f"[match={bool(ovf_h[0])} seeds={bool(ovf_h[1])}]; "
+                    "raise TurboParams.K / TurboParams.S or anchors are "
+                    "dropped",
+                    file=sys.stderr,
+                )
+                ovf_warned = True
+        # final summaries to host
+        rb_f_h = np.asarray(rb_f)
+        rb_i_h = np.asarray(rb_i)
+        chunk_idx_h = np.asarray(chunk_idx)
+        stopped_h = np.asarray(stopped)
+        offsets_h = np.asarray(offsets)
+        for i, s in enumerate(batch):
+            self._emit(
+                records, base + i, s, rb_f_h[:, i], rb_i_h[:, i],
+                int(chunk_idx_h[i]), bool(stopped_h[i]), int(offsets_h[i]),
+                float(mt[i]), int(n_full[i]),
+            )
+
+    # --- placement/execution hooks (overridden by TurboShardMapper) -----
+
+    def _place_signals(self, sig: np.ndarray):
+        return jax.device_put(sig)
+
+    def _place_state(self, state):
+        return state
+
+    def _run_round(self, signals_d, n_full_d, chunk_idx, done, stopped,
+                   offsets, carry, rb_f, rb_i):
+        m = self.cfg.mapping
+        return turbo_round(
+            self.tiles, self.meta, self.cum, signals_d, n_full_d,
+            chunk_idx, done, stopped, offsets, carry, rb_f, rb_i,
+            p=self.p, step=m.step_size, radius=m.search_radius,
+            dim=self.index.dim, ed_cfg=self.cfg.event,
+            chain_cfg=self.cfg.chain, m=m, interpret=self.interpret,
+        )
+
+    def _unpack_host_sig(self, h: np.ndarray, B: int):
+        return h[:B].astype(bool), h[B:].astype(bool)
+
+    def _init_state(self, B: int):
+        RING = self.p.RING
+        carry = (
+            jnp.full((RING, B), -(1 << 30), jnp.int32),   # t
+            jnp.zeros((RING, B), jnp.int32),              # q
+            jnp.full((RING, B), -2, jnp.int32),           # g
+            jnp.full((RING, B), NEG, jnp.float32),        # score
+            jnp.zeros((RING, B), jnp.int32),              # stt
+            jnp.zeros((RING, B), jnp.int32),              # stq
+            jnp.zeros((RING, B), jnp.int32),              # n
+            jnp.zeros((RING, B), jnp.float32),            # sumd
+        )
+        rb_f = jnp.full((4, B), NEG, jnp.float32)
+        rb_i = jnp.zeros((8, B), jnp.int32)
+        return (
+            jnp.zeros((B,), jnp.int32), jnp.zeros((B,), bool),
+            jnp.zeros((B,), bool), jnp.zeros((B,), jnp.int32),
+            carry, rb_f, rb_i,
+        )
+
+    def _emit(self, records, rid, s: ReadSignal, sf, si, chunk_idx,
+              stopped_early, num_events, mt_ms, num_chunks):
+        """Output decision + PAF record (sigmap.cc:690-866 semantics,
+        mirroring Mapper._finish_fast)."""
+        m = self.cfg.mapping
+        if chunk_idx > 0 and not stopped_early:
+            # loop-exhaustion adjustment (sigmap.cc:690-693)
+            if chunk_idx == num_chunks or chunk_idx == m.max_num_chunks:
+                chunk_idx -= 1
+        ci = chunk_idx + 1
+        sl = s.length
+        s1, s2, sumd1 = float(sf[0]), float(sf[1]), float(sf[2])
+        g1, t_start, t_end, q_start, q_end, n1, nc, _ = (int(x) for x in si)
+        has2 = s2 > self.cfg.chain.min_chaining_score
+        s2 = s2 if has2 else 0.0
+        found = s1 > 0
+        scale = 0.0
+        if num_events > 0:
+            scale = (ci * m.chunk_size / num_events) / (
+                m.sample_rate / m.bp_per_sec
+            )
+        out_ok = found and (
+            (nc >= 2 and s2 > 0 and (
+                s1 / s2 >= m.output_mapping_ratio
+                or s1 >= m.output_mapping_mean_ratio * (s1 + s2) / 2
+            ))
+            or (nc == 1 and n1 >= m.output_mapping_min_num_anchors)
+        )
+        summ = None
+        if found:
+            summ = ChainsSummary(
+                num_anchors=n1, num_chains=nc, s1=s1, s2=s2,
+                sm=(s1 + s2) / nc if nc else s1,
+                ad=sumd1 / max(1, n1),
+                at=(t_end - t_start) / max(1, n1),
+                aq=(q_end - q_start) / max(1, n1),
+            )
+        if out_ok:
+            ref_index = g1 // 2
+            strand_bit = g1 % 2
+            ref_len = self.index.ref_lengths[ref_index]
+            tstart = t_start if strand_bit == 0 else ref_len + 1 - t_end
+            mapq = 60 if nc == 1 else max(0, min(60, int(40 * (1 - s2 / s1))))
+            records[rid] = PAFRecord(
+                read_id=rid, read_name=s.read_id, read_length=sl,
+                read_start=int(scale * q_start), read_end=int(scale * q_end),
+                ref_index=ref_index, fragment_start=int(tstart),
+                fragment_length=int(t_end - t_start + 1),
+                mapq=mapq, direction=1 if strand_bit == 0 else 0,
+                tags=streaming_tags(mt_ms, ci, sl, summ),
+            )
+        else:
+            records[rid] = PAFRecord(
+                read_id=rid, read_name=s.read_id, read_length=sl,
+                read_start=0, read_end=0, ref_index=0, fragment_start=0,
+                fragment_length=0, mapq=61, direction=0,
+                tags=streaming_tags(mt_ms, ci, sl, summ),
+            )

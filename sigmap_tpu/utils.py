@@ -85,3 +85,16 @@ class Timer:
 def fmt_float(x: float) -> str:
     """C++ std::to_string(float/double): printf %f, 6 decimals."""
     return f"{float(x):.6f}"
+
+
+def enable_compilation_cache(path: str = "/root/.cache/sigmap_tpu_jax"):
+    """Enable JAX's persistent compilation cache (cuts the multi-minute
+    first-jit warmup to seconds on later runs).  Safe to call repeatedly."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # noqa: BLE001 - older jax without these flags
+        pass
