@@ -25,10 +25,11 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import ChainingConfig
 
-NEG = jnp.float32(-1e30)
+NEG = np.float32(-1e30)
 
 
 @partial(jax.jit, static_argnames=("cfg", "dim"))

@@ -39,7 +39,7 @@ from .chain_device import chain_scores_banded
 from .seeding import DeviceIndex, search_flat_kernel
 from ..signal.events import batch_generate_events
 
-NEG = jnp.float32(-1e30)
+NEG = np.float32(-1e30)
 
 
 @partial(
@@ -215,7 +215,7 @@ def fast_round(
     a_t, a_q, a_d, a_g = (x[:, :a_cap] for x in (a_t, a_q, a_d, a_g))
 
     # ---- 5. per-read sort by (group, target, query) -----------------------
-    sort_g = jnp.where(a_g >= 0, a_g, jnp.int32(1 << 20))
+    sort_g = jnp.where(a_g >= 0, a_g, np.int32(1 << 20))
     sort_g, a_t, a_q, a_d, a_g = jax.lax.sort(
         (sort_g, a_t, a_q, a_d, a_g), dimension=1, num_keys=3
     )
@@ -283,7 +283,7 @@ def fast_round(
     s_2 = jnp.where(mem1 | overlap, NEG, s)
     s2, i2 = best_and_trace(s_2)
     start2, n2, sumd2, mem2 = traceback(i2)
-    has2 = s2 > jnp.float32(chain_cfg.min_chaining_score)
+    has2 = s2 > np.float32(chain_cfg.min_chaining_score)
     s2 = jnp.where(has2, s2, 0.0)
 
     # ---- 7. carry-out: members of chains 1+2 ------------------------------

@@ -180,8 +180,8 @@ def _probe_ranges(dev: DeviceIndex, q: jax.Array, q_valid: jax.Array):
     """
     p = dev.params
     bd = p.bucket_dims
-    delta = jnp.float32(np.sqrt(p.radius))
-    w = jnp.float32(p.cell_width)
+    delta = np.float32(np.sqrt(p.radius))
+    w = np.float32(p.cell_width)
     off = SignalIndex.CELL_OFFSET
     radix = SignalIndex.CELL_RADIX
     qb = q[:, :bd]
@@ -354,8 +354,8 @@ def _probe_ranges_merged(dev: DeviceIndex, q: jax.Array, q_valid: jax.Array):
     """
     p = dev.params
     bd = p.bucket_dims
-    delta = jnp.float32(np.sqrt(p.radius))
-    w = jnp.float32(p.cell_width)
+    delta = np.float32(np.sqrt(p.radius))
+    w = np.float32(p.cell_width)
     off = SignalIndex.CELL_OFFSET
     radix = SignalIndex.CELL_RADIX
     qb = q[:, :bd]
@@ -429,8 +429,8 @@ def _lookup_cells(dev: DeviceIndex, key: jax.Array, valid: jax.Array):
     return len == 0 (every occupied cell holds >= 1 window)."""
     bits = dev.hash_bits
     h = (
-        key.astype(jnp.uint32) * jnp.uint32(HASH_MULT)
-    ) >> jnp.uint32(32 - bits)
+        key.astype(jnp.uint32) * np.uint32(HASH_MULT)
+    ) >> np.uint32(32 - bits)
     rows = dev.htbl[h.astype(jnp.int32)]              # [..., E, 3]
     eq = (rows[..., 0] == key[..., None]) & valid[..., None]
     start = jnp.sum(jnp.where(eq, rows[..., 1], 0), axis=-1)
@@ -449,8 +449,8 @@ def _probe_ranges_hash(dev: DeviceIndex, q: jax.Array, q_valid: jax.Array):
     windows in between)."""
     p = dev.params
     bd = p.bucket_dims
-    delta = jnp.float32(np.sqrt(p.radius))
-    w = jnp.float32(p.cell_width)
+    delta = np.float32(np.sqrt(p.radius))
+    w = np.float32(p.cell_width)
     off = SignalIndex.CELL_OFFSET
     radix = SignalIndex.CELL_RADIX
     qb = q[:, :bd]
@@ -482,7 +482,7 @@ def _probe_ranges_hash(dev: DeviceIndex, q: jax.Array, q_valid: jax.Array):
     )
     cstart, clen = _lookup_cells(dev, keys, kvalid)    # [Qt, P', span]
     found = clen > 0
-    INF = jnp.int32(2**31 - 1)
+    INF = np.int32(2**31 - 1)
     first = jnp.min(jnp.where(found, cstart, INF), axis=-1)
     last = jnp.max(jnp.where(found, cstart + clen, -1), axis=-1)
     any_found = jnp.any(found, axis=-1)

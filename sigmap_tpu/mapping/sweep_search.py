@@ -29,7 +29,7 @@ import numpy as np
 from ..index.sweep import SWEEP_DIMS, SWEEP_OFFSET, SWEEP_RADIX
 from ..ops.sweep_kernel import BLOCK, sweep_search
 
-BIG = jnp.int32(2**31 - 1)
+BIG = np.int32(2**31 - 1)
 # Padded/invalid seeds: dims < index.dim set to SEED_PAD (|q|^2 dominates
 # every d^2 so they never match, and they sort to the trailing edge cell);
 # dims >= index.dim MUST stay zero (row `dim` of the tiles is |w|^2).
@@ -40,8 +40,8 @@ _OFFS = list(itertools.product((0, 1), repeat=3))
 
 def seed_cell_bounds(seeds: jax.Array, radius: float):
     """[Q, 8] seeds -> per-offset (key_lo, key_hi) [Q, 8] i32 each."""
-    delta = jnp.float32(np.sqrt(radius))
-    w = jnp.float32(2.0 * np.sqrt(radius))
+    delta = np.float32(np.sqrt(radius))
+    w = np.float32(2.0 * np.sqrt(radius))
     R = SWEEP_RADIX
     qb = seeds[:, :SWEEP_DIMS]
     lo = jnp.clip(
@@ -84,14 +84,14 @@ def sweep_round(
     Q0 = seeds.shape[0]
     if Q0 % block:
         pad = block - Q0 % block
-        prow = jnp.where(jnp.arange(8) < dim, jnp.float32(SEED_PAD), 0.0)
+        prow = jnp.where(jnp.arange(8) < dim, np.float32(SEED_PAD), 0.0)
         seeds = jnp.concatenate(
             [seeds, jnp.broadcast_to(prow, (pad, 8))], axis=0
         )
     Q = seeds.shape[0]
     R = SWEEP_RADIX
-    w = jnp.float32(2.0 * np.sqrt(radius))
-    delta = jnp.float32(np.sqrt(radius))
+    w = np.float32(2.0 * np.sqrt(radius))
+    delta = np.float32(np.sqrt(radius))
     # Sort seeds by the LO-CORNER cell key (cell of q - delta), not the
     # nominal cell: every probe offset is then a CONSTANT key shift across
     # a block, so block unions stay as tight as the block's own key span.

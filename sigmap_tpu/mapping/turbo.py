@@ -56,7 +56,7 @@ from ..io.signals import ReadSignal
 from ..signal.events import batch_generate_events
 from .sweep_search import SEED_PAD, sweep_round
 
-NEG = jnp.float32(-1e30)
+NEG = np.float32(-1e30)
 
 
 @dataclass(frozen=True)
@@ -93,7 +93,7 @@ def build_seeds(feats, counts, offsets, S: int, step: int, dim: int,
         feats[:, :, None] * jnp.ones((1, 1, 8), jnp.float32), gidx, axis=1
     ) * (jnp.arange(8) < dim)[None, None, :]                      # [B, S, 8]
     seed_ok = j[None, :] < n_seeds[:, None]                       # [B, S]
-    pad_row = jnp.where(jnp.arange(8) < dim, jnp.float32(SEED_PAD), 0.0)
+    pad_row = jnp.where(jnp.arange(8) < dim, np.float32(SEED_PAD), 0.0)
     seeds = jnp.where(seed_ok[:, :, None], wins, pad_row[None, None, :])
     seed_ovf = jnp.any(
         jnp.where(has_f, (counts - dim) // step, 0) > S
@@ -186,7 +186,7 @@ def turbo_round_body(
     )
     s1 = sum_f[0]
     s2_raw = sum_f[1]
-    has2 = s2_raw > jnp.float32(chain_cfg.min_chaining_score)
+    has2 = s2_raw > np.float32(chain_cfg.min_chaining_score)
     s2 = jnp.where(has2, s2_raw, 0.0)
     nc = 1 + has2.astype(jnp.int32)
     n1 = sum_i[5]

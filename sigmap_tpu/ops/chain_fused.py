@@ -270,6 +270,12 @@ def chain_fused(
         ),
         scratch_shapes=[pltpu.VMEM((A, L), jnp.float32)],
         interpret=interpret,
+        # [A, L] anchor blocks are large (A = carry + seeds*K); with grid
+        # G > 1 XLA double-buffers them, blowing the default 16 MB scoped
+        # VMEM budget — declare the real requirement (v5e VMEM is 128 MB)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(a_t, a_q, a_d, a_g, c_score, c_stt, c_stq, c_n, c_sumd)
     sum_f, sum_i = outs[0][:, :B], outs[1][:, :B]
     carry = tuple(o[:, :B] for o in outs[2:])

@@ -141,14 +141,14 @@ def _kernel(
                     return abase + off < start + length
 
                 _, carry = jax.lax.while_loop(
-                    cond, chunk_loop, (jnp.int32(SUB), carry)
+                    cond, chunk_loop, (np.int32(SUB), carry)
                 )
                 return carry
 
             return jax.lax.cond(length > 0, with_data, lambda c: c, carry)
 
         carry0 = (
-            jnp.int32(0),
+            np.int32(0),
             jnp.zeros((1, BLK), jnp.int32),
             jnp.zeros((1, BLK), jnp.float32),
         )

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BIG = jnp.float32(1e30)
+BIG = np.float32(1e30)
 
 
 def _row_step(carry, t_val, q, qmask):

@@ -281,11 +281,11 @@ def chunk_step(
             return o.at[cpos].set(jnp.where(keep, a, fill), mode="drop")[
                 :anchor_cap
             ]
-        a_read = compact(read.astype(jnp.int32), jnp.int32(1 << 20))
-        a_group = compact(group, jnp.int32(-1))
-        a_tpos = compact(tpos, jnp.int32(0))
-        a_qpos = compact(qpos.astype(jnp.int32), jnp.int32(0))
-        a_dist = compact(dist, jnp.float32(0))
+        a_read = compact(read.astype(jnp.int32), np.int32(1 << 20))
+        a_group = compact(group, np.int32(-1))
+        a_tpos = compact(tpos, np.int32(0))
+        a_qpos = compact(qpos.astype(jnp.int32), np.int32(0))
+        a_dist = compact(dist, np.float32(0))
         # merge anchors across index shards
         if axis_name is not None:
             g = lambda a: jax.lax.all_gather(a, axis_name).reshape(-1)

@@ -44,7 +44,7 @@ from ..index.build import SignalIndex
 from ..index.sweep import PAD_COORD, SweepIndex
 from ..mapping.turbo import TurboMapper, TurboParams, turbo_round_body
 
-INF = jnp.float32(1.0e30)
+INF = np.float32(1.0e30)
 
 
 @dataclass

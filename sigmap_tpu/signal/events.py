@@ -22,11 +22,12 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import EventDetectorConfig
 
-FLT_MAX = jnp.float32(3.4028235e38)
-FLT_MIN = jnp.float32(1.1754944e-38)
+FLT_MAX = np.float32(3.4028235e38)
+FLT_MIN = np.float32(1.1754944e-38)
 
 
 def batch_prefix_sums(chunks: jax.Array, lengths: jax.Array):
@@ -63,7 +64,7 @@ def batch_tstat(chunks: jax.Array, lengths: jax.Array, w: int):
     x = jnp.where(i < L, chunks, 0.0).astype(jnp.float32)
     pad = jnp.zeros((B, w), jnp.float32)
     xp = jnp.concatenate([pad, x, pad], axis=1)     # index i+w == x[i]
-    inv_w = jnp.float32(1.0 / w)
+    inv_w = np.float32(1.0 / w)
 
     def shifted(a, off):
         return jax.lax.dynamic_slice_in_dim(a, w + off, C, axis=1)
@@ -142,7 +143,7 @@ def detect_peaks_batch(
     """Batched dual-detector scan (event.h:117-182) -> emissions [B, 2C]
     (pos+1 | 0), ordered (step, short-then-long)."""
     B, C = tstat1.shape
-    ph = jnp.float32(cfg.peak_height)
+    ph = np.float32(cfg.peak_height)
 
     def init_det():
         return {
@@ -157,7 +158,7 @@ def detect_peaks_batch(
         v1, v2, i = xs
         active = i < lengths
         short_new, emit_s, dominate, short_pp = _detector_step(
-            short, v1, i, jnp.float32(cfg.threshold1),
+            short, v1, i, np.float32(cfg.threshold1),
             cfg.window_length1, ph, active,
         )
         # short-dominates-long (event.h:155-164): applied before long runs
@@ -170,7 +171,7 @@ def detect_peaks_batch(
             ),
         }
         lng_new, emit_l, _, _ = _detector_step(
-            lng, v2, i, jnp.float32(cfg.threshold2),
+            lng, v2, i, np.float32(cfg.threshold2),
             cfg.window_length2, ph, active,
         )
         return (short_new, lng_new), jnp.stack([emit_s, emit_l], axis=-1)

@@ -69,7 +69,7 @@ def _peaks_kernel(t1_ref, t2_ref, len_ref, out_s_ref, out_l_ref, *, cfg, C):
         active = (i < lengths)[None, :]
         s_pp, s_pv, s_valid, emit_s, dominate, s_pp2 = det_step(
             v1, i, st["s_pp"], st["s_pv"], st["s_valid"], st["s_mask"],
-            jnp.float32(cfg.threshold1), cfg.window_length1, active,
+            np.float32(cfg.threshold1), cfg.window_length1, active,
         )
         l_pp = jnp.where(dominate, -1, st["l_pp"])
         l_pv = jnp.where(dominate, FLT_MAX, st["l_pv"])
@@ -79,7 +79,7 @@ def _peaks_kernel(t1_ref, t2_ref, len_ref, out_s_ref, out_l_ref, *, cfg, C):
         )
         l_pp, l_pv, l_valid, emit_l, _, _ = det_step(
             v2, i, l_pp, l_pv, l_valid, l_mask,
-            jnp.float32(cfg.threshold2), cfg.window_length2, active,
+            np.float32(cfg.threshold2), cfg.window_length2, active,
         )
         out_s_ref[i, :] = emit_s[0, :]
         out_l_ref[i, :] = emit_l[0, :]

@@ -1,0 +1,179 @@
+#!/usr/bin/env python
+"""Profile the turbo engine on real TPU: per-round time vs batch size,
+plus a per-stage breakdown of one round."""
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--genome-mb", type=float, default=2.0)
+    ap.add_argument("--batches", type=str, default="64,256")
+    ap.add_argument("--reads", type=int, default=256)
+    ap.add_argument("--read-bases", type=int, default=3000)
+    ap.add_argument("--rounds", type=int, default=6)
+    ap.add_argument("--stages", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    from sigmap_tpu.config import SigmapConfig
+    from sigmap_tpu.index.build import build_index
+    from sigmap_tpu.io.fasta import ReferenceSequence
+    from sigmap_tpu.io.pore_model import make_synthetic_pore_model
+    from sigmap_tpu.io.signals import ReadSignal, dac_to_pa
+    from sigmap_tpu.mapping.turbo import TurboMapper, TurboParams, turbo_round
+    from sigmap_tpu.synth import random_genome, simulate_reads
+    from sigmap_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    cfg = SigmapConfig()
+    pore = make_synthetic_pore_model(k=6, seed=0)
+    genome = random_genome(int(args.genome_mb * 1e6), seed=1)
+    seqs = [ReferenceSequence(n, c) for n, c in genome]
+    t0 = time.perf_counter()
+    idx = build_index(seqs, pore, cfg.index, cfg.mapping.search_radius,
+                      verbose=False)
+    log(f"index: {time.perf_counter()-t0:.1f}s")
+    reads = simulate_reads(pore, genome, args.reads, seed=2,
+                           read_bases=args.read_bases)
+    signals = [
+        ReadSignal(r.read_id, r.digitisation, r.range, r.offset,
+                   dac_to_pa(r.raw, r.digitisation, r.range, r.offset))
+        for r in reads
+    ]
+
+    import dataclasses
+
+    for B in (int(x) for x in args.batches.split(",")):
+        cfgB = dataclasses.replace(
+            cfg, runtime=dataclasses.replace(cfg.runtime, read_batch=B)
+        )
+        t0 = time.perf_counter()
+        tm = TurboMapper(idx, cfgB)
+        log(f"B={B}: mapper init {time.perf_counter()-t0:.1f}s")
+        batch = signals[:B] if len(signals) >= B else signals
+        # manual round loop with timing
+        m = cfgB.mapping
+        p = tm.p
+        Cs = m.chunk_size
+        n_full = np.zeros(B, np.int32)
+        for i, s in enumerate(batch):
+            n_full[i] = min(s.length // Cs, m.max_num_chunks)
+        NC = max(1, int(n_full.max(initial=0)))
+        NC = 1 << (NC - 1).bit_length()
+        sig = np.zeros((B, NC, Cs), np.float32)
+        for i, s in enumerate(batch):
+            L = min(s.length, NC * Cs)
+            sig[i].reshape(-1)[:L] = s.pa[:L]
+        t0 = time.perf_counter()
+        signals_d = jax.device_put(sig)
+        jax.block_until_ready(signals_d)
+        up = time.perf_counter() - t0
+        log(f"B={B}: upload {sig.nbytes/1e6:.0f} MB in {up*1000:.0f} ms "
+            f"({sig.nbytes/up/1e6:.0f} MB/s)")
+        n_full_d = jax.device_put(n_full)
+        state = tm._init_state(B)
+        (chunk_idx, done, stopped, offsets, carry, rb_f, rb_i) = state
+
+        t0 = time.perf_counter()
+        out = tm._run_round(signals_d, n_full_d, chunk_idx, done, stopped,
+                            offsets, carry, rb_f, rb_i)
+        np.asarray(out[-1])
+        log(f"B={B}: first round (compile) {time.perf_counter()-t0:.1f}s")
+        times = []
+        for r in range(args.rounds):
+            t0 = time.perf_counter()
+            out = tm._run_round(signals_d, n_full_d, *out[:7])
+            hs = np.asarray(out[-1])
+            dt = time.perf_counter() - t0
+            times.append(dt)
+            ndone = int(hs[:B].sum())
+            log(f"B={B}: round {r}: {dt*1000:.1f} ms  done={ndone}/{B}")
+        tpr = float(np.median(times))
+        log(f"B={B}: median round {tpr*1000:.1f} ms -> "
+            f"{B/tpr:.0f} read-rounds/s")
+
+    if args.stages:
+        _stages(tm, signals_d, n_full_d, B, NC, log)
+
+
+def _stages(tm, signals_d, n_full_d, B, NC, log):
+    """Time each stage of one round separately (jitted pieces)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from sigmap_tpu.mapping.turbo import anchors_qpos_major, build_seeds
+    from sigmap_tpu.mapping.sweep_search import sweep_round
+    from sigmap_tpu.ops.chain_fused import chain_fused
+    from sigmap_tpu.signal.events import batch_generate_events
+
+    p = tm.p
+    m = tm.cfg.mapping
+    state = tm._init_state(B)
+    (chunk_idx, done, stopped, offsets, carry, rb_f, rb_i) = state
+
+    def tit(fn, *a, label="", reps=5, **kw):
+        out = fn(*a, **kw)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(*a, **kw)
+            jax.block_until_ready(out)
+        log(f"  {label}: {(time.perf_counter()-t0)/reps*1000:.1f} ms")
+        return out
+
+    ch = signals_d[:, 0]
+    clen = jnp.full((B,), signals_d.shape[2], jnp.int32)
+
+    ev = functools.partial(
+        batch_generate_events, cfg=tm.cfg.event, max_events=p.max_events,
+        max_features=p.max_features, compress_delta=m.compress_delta,
+        peaks_impl=p.peaks_impl,
+    )
+    feats, _stdv, counts, _ = tit(
+        jax.jit(ev), ch, clen, label="events"
+    )
+    bs = jax.jit(functools.partial(
+        build_seeds, S=p.S, step=m.step_size, dim=tm.index.dim,
+        min_feature_length=m.min_feature_length,
+    ))
+    seeds, qpos, has_f, _ovf = tit(bs, feats, counts, offsets,
+                                   label="build_seeds")
+    sr = functools.partial(
+        sweep_round, radius=m.search_radius, K=p.K, TILE=p.TILE,
+        dim=tm.index.dim, block=p.block, interpret=tm.interpret,
+    )
+    m_meta, m_d2, cnt, wrote = tit(
+        sr, seeds.reshape(B * p.S, 8), tm.cum, tm.tiles, tm.meta,
+        label="sweep_round",
+    )
+    aq = jax.jit(functools.partial(
+        anchors_qpos_major, B=B, S=p.S, K=p.K,
+    ))
+    n_t, n_q, n_d, n_g = tit(aq, m_meta, m_d2, wrote, qpos,
+                             label="anchors_qpos_major")
+    c_t, c_q, c_g, c_score, c_stt, c_stq, c_n, c_sumd = carry
+    a_t = jnp.concatenate([c_t, n_t], axis=0)
+    a_q = jnp.concatenate([c_q, n_q], axis=0)
+    a_d = jnp.concatenate([jnp.zeros((p.RING, B), jnp.float32), n_d], axis=0)
+    a_g = jnp.concatenate([jnp.where(c_g == -2, -1, c_g), n_g], axis=0)
+    cf = functools.partial(
+        chain_fused, radius=m.search_radius, dim=tm.index.dim, ring=p.RING,
+        cfg=tm.cfg.chain, interpret=tm.interpret,
+    )
+    tit(cf, a_t, a_q, a_d, a_g, c_score, c_stt, c_stq, c_n, c_sumd,
+        label="chain_fused")
+
+
+if __name__ == "__main__":
+    main()
