@@ -45,7 +45,18 @@ from .build import SignalIndex
 # bounds clip identically, and the final strict d^2 < r test is exact).
 SWEEP_RADIX = 18
 SWEEP_OFFSET = 9
+# Bucket 4 dims.  Measured on v5e (2 Mb index, B=256 rounds): bucketing a
+# 5th dim doubles the probe offsets (2^(bd-1)) and, because each block's
+# per-offset DMA union is set by the block's SORTED-SEED key span (which
+# does not shrink with more dims), total tile visits GROW ~20% — bd=4 is
+# the sweet spot.  bd = min(SWEEP_DIMS, dim) is the single consistency
+# rule; sweep_search derives the same bd from dim.
 SWEEP_DIMS = 4
+
+
+def bucket_dims(dim: int) -> int:
+    """Number of bucketed key dims for an index of dimension `dim`."""
+    return min(SWEEP_DIMS, dim)
 PAD_COORD = 1.0e30  # padding |w|^2 value: can never be within radius
 META_POS_BITS = 25  # packed meta: (group << 25) | target_position
 
@@ -75,13 +86,9 @@ class SweepIndex:
         """Re-sort a SignalIndex's windows by the sweep grid and tile them."""
         nw = idx.n_windows
         dim = idx.dim
-        if dim < SWEEP_DIMS:
-            raise ValueError(
-                f"sweep layout keys windows over {SWEEP_DIMS} dims; "
-                f"index dim {dim} < {SWEEP_DIMS} is not supported "
-                "(the search-side key computation hardcodes 4-dim keys)"
-            )
-        bd = min(SWEEP_DIMS, dim)
+        if dim < 2:
+            raise ValueError("sweep layout needs index dim >= 2")
+        bd = bucket_dims(dim)
         w = 2.0 * float(np.sqrt(radius))
         if idx.win_group is None:
             idx.derive_window_metadata()

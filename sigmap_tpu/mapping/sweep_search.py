@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..index.sweep import SWEEP_DIMS, SWEEP_OFFSET, SWEEP_RADIX
+from ..index.sweep import SWEEP_OFFSET, SWEEP_RADIX, bucket_dims
 from ..ops.sweep_kernel import BLOCK, sweep_search
 
 BIG = np.int32(2**31 - 1)
@@ -35,15 +35,17 @@ BIG = np.int32(2**31 - 1)
 # dims >= index.dim MUST stay zero (row `dim` of the tiles is |w|^2).
 SEED_PAD = 2.0e9
 
-_OFFS = list(itertools.product((0, 1), repeat=3))
 
+def seed_cell_bounds(seeds: jax.Array, radius: float, bd: int):
+    """[Q, 8] seeds -> per-offset (key_lo, key_hi) [Q, 2^(bd-1)] i32 each.
 
-def seed_cell_bounds(seeds: jax.Array, radius: float):
-    """[Q, 8] seeds -> per-offset (key_lo, key_hi) [Q, 8] i32 each."""
+    Offsets enumerate the leading bd-1 bucketed dims (the L2 ball spans
+    <= 2 cells per dim); the last bucketed dim's cell span is folded into
+    each offset's contiguous key range."""
     delta = np.float32(np.sqrt(radius))
     w = np.float32(2.0 * np.sqrt(radius))
     R = SWEEP_RADIX
-    qb = seeds[:, :SWEEP_DIMS]
+    qb = seeds[:, :bd]
     lo = jnp.clip(
         jnp.floor((qb - delta) / w).astype(jnp.int32) + SWEEP_OFFSET,
         0, R - 1,
@@ -53,11 +55,16 @@ def seed_cell_bounds(seeds: jax.Array, radius: float):
         0, R - 1,
     )
     klos, khis = [], []
-    for (i, j, k) in _OFFS:
-        c0, c1, c2 = lo[:, 0] + i, lo[:, 1] + j, lo[:, 2] + k
-        ok = (c0 <= hi[:, 0]) & (c1 <= hi[:, 1]) & (c2 <= hi[:, 2])
-        key_lo = ((c0 * R + c1) * R + c2) * R + lo[:, 3]
-        key_hi = key_lo + (hi[:, 3] - lo[:, 3])
+    for offs in itertools.product((0, 1), repeat=bd - 1):
+        cs = [lo[:, d] + offs[d] for d in range(bd - 1)]
+        ok = cs[0] <= hi[:, 0]
+        for d in range(1, bd - 1):
+            ok &= cs[d] <= hi[:, d]
+        key_lo = cs[0]
+        for d in range(1, bd - 1):
+            key_lo = key_lo * R + cs[d]
+        key_lo = key_lo * R + lo[:, bd - 1]
+        key_hi = key_lo + (hi[:, bd - 1] - lo[:, bd - 1])
         klos.append(jnp.where(ok, key_lo, BIG))
         khis.append(jnp.where(ok, key_hi, -1))
     return jnp.stack(klos, axis=1), jnp.stack(khis, axis=1)
@@ -90,6 +97,8 @@ def sweep_round(
         )
     Q = seeds.shape[0]
     R = SWEEP_RADIX
+    bd = bucket_dims(dim)
+    NO = 1 << (bd - 1)  # probe offsets
     w = np.float32(2.0 * np.sqrt(radius))
     delta = np.float32(np.sqrt(radius))
     # Sort seeds by the LO-CORNER cell key (cell of q - delta), not the
@@ -99,11 +108,13 @@ def sweep_round(
     # leading dim, and one such straddle widens the union by a whole radix
     # plane — measured 30x more tile visits.)
     qc = jnp.clip(
-        jnp.floor((seeds[:, :SWEEP_DIMS] - delta) / w).astype(jnp.int32)
+        jnp.floor((seeds[:, :bd] - delta) / w).astype(jnp.int32)
         + SWEEP_OFFSET,
         0, R - 1,
     )
-    skey = ((qc[:, 0] * R + qc[:, 1]) * R + qc[:, 2]) * R + qc[:, 3]
+    skey = qc[:, 0]
+    for d in range(1, bd):
+        skey = skey * R + qc[:, d]
     _, perm = jax.lax.sort(
         (skey, jnp.arange(Q, dtype=jnp.int32)), num_keys=1
     )
@@ -111,10 +122,10 @@ def sweep_round(
     iperm = jnp.zeros((Q,), jnp.int32).at[perm].set(
         jnp.arange(Q, dtype=jnp.int32)
     )
-    klo, khi = seed_cell_bounds(seeds_s, radius)      # [Q, 8]
+    klo, khi = seed_cell_bounds(seeds_s, radius, bd)  # [Q, NO]
     G = Q // block
-    bmin = klo.reshape(G, block, 8).min(axis=1)       # [G, 8]
-    bmax = khi.reshape(G, block, 8).max(axis=1)
+    bmin = klo.reshape(G, block, NO).min(axis=1)      # [G, NO]
+    bmax = khi.reshape(G, block, NO).max(axis=1)
     CS = cum.shape[0] - 1
     start = cum[jnp.clip(bmin, 0, CS)]
     end = cum[jnp.clip(bmax + 1, 0, CS)]
@@ -138,10 +149,10 @@ def sweep_round(
     cums = jnp.concatenate(
         [jnp.zeros((G, 1), jnp.int32),
          jnp.cumsum(tcnt, axis=1).astype(jnp.int32)], axis=1,
-    )  # [G, 9]
+    )  # [G, NO+1]
     blockmeta = jnp.concatenate(
         [m_start.astype(jnp.int32), cums], axis=1
-    ).T  # [17, G]
+    ).T  # [2*NO+1, G]
     m_meta, m_d2, m_cnt = sweep_search(
         seeds_s, blockmeta, tiles, meta,
         radius=radius, K=K, TILE=TILE, dim=dim, block=block,

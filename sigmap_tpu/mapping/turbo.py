@@ -7,10 +7,13 @@ Replaces Sigmap::StreamingMap's per-read OpenMP taskloop
 TPU v5e does fast and what the axon tunnel does NOT (bulk host<->device
 transfers, host round-trips):
 
-* ALL read signals are uploaded once as [B, NC, chunk] and stay resident;
-  a round slices its chunk per read with one row gather — no per-round
-  chunk upload (the fast path uploads B*16 KB per round over a ~30 MB/s
-  tunnel);
+* all ACTIVE reads in a batch advance their chunk index in lockstep, so
+  round r needs exactly signal slice [B, chunk] number r: the host keeps
+  the [B, NC, chunk] array pinned and a prefetch thread uploads slice
+  r+1 while the device computes round r — uploads are fully overlapped
+  and early-stopped rounds never ship their bytes (the fast path paid a
+  blocking per-round upload; a resident [B, NC, chunk] upload measured
+  8-16 MB/s on the axon tunnel vs 70-80 MB/s for <=33 MB slices);
 * the search is the streaming merge-join sweep (ops/sweep_kernel.py):
   cell-sorted window tiles DMA'd contiguously past key-sorted seed blocks,
   exact d^2 < radius on the MXU/VPU — no gathers, no giant sorts;
@@ -63,9 +66,15 @@ NEG = np.float32(-1e30)
 class TurboParams:
     """Static shapes of the turbo round (compile-time constants)."""
 
+    # K and RING trade against each other: the ring band must SPAN many
+    # seeds (RING/K seeds' worth of anchors) or chains fragment between
+    # consecutive true-locus anchors.  Measured on the 2 Mb synthetic
+    # workload: (K=16, RING=64) maps 49/64 reads, (K=8, RING=256) maps
+    # 64/64 — matching the exact engine — because slots keep the 8
+    # CLOSEST matches (ascending d^2) and the ring then covers ~32 seeds.
     S: int = 256          # seed slots per read per chunk
-    K: int = 16           # match slots per seed (reference cap: 5000)
-    RING: int = 64        # chaining band / carry size
+    K: int = 8            # match slots per seed (reference cap: 5000)
+    RING: int = 256       # chaining band / carry size
     TILE: int = 1024      # sweep tile width
     max_events: int = 1024
     max_features: int = 1024
@@ -130,17 +139,18 @@ def turbo_round_body(
     """One streaming round (traceable body shared by the single-chip jit
     and the shard_map multi-chip path).
 
+    signals is THIS round's [B, chunk] slice (all active reads share one
+    chunk index; rows of inactive reads are ignored via the active mask).
+
     merge_matches: optional callable (m_meta [Q,K], m_d2, cnt, wrote) ->
     same shapes, merging per-index-shard results across a mesh axis."""
-    B, NC, Cs = signals.shape
+    B, Cs = signals.shape
     S, K = p.S, p.K
 
     active = ~done & (chunk_idx < n_full) & (chunk_idx < m.max_num_chunks)
 
-    # ---- 1. chunk slice + events ---------------------------------------
-    ch = jnp.take_along_axis(
-        signals, jnp.clip(chunk_idx, 0, NC - 1)[:, None, None], axis=1
-    )[:, 0]
+    # ---- 1. events over this round's chunk slice ------------------------
+    ch = signals
     clen = jnp.where(active, Cs, 0).astype(jnp.int32)
     feats, _stdv, counts, _ = batch_generate_events(
         ch, clen, cfg=ed_cfg, max_events=p.max_events,
@@ -239,8 +249,8 @@ def turbo_round_body(
 def turbo_round(
     tiles: jax.Array,      # [T, 8, TILE] f32 sweep index
     meta: jax.Array,       # [T, 8, TILE//8] i32
-    cum: jax.Array,        # [R^4+1] i32
-    signals: jax.Array,    # [B, NC, Cs] f32 resident chunk-padded signals
+    cum: jax.Array,        # [R^bd+1] i32
+    signals: jax.Array,    # [B, Cs] f32 this round's chunk slice
     n_full: jax.Array,     # [B] i32 full chunks per read
     chunk_idx: jax.Array,  # [B] i32
     done: jax.Array,       # [B] bool
@@ -292,6 +302,9 @@ class TurboMapper:
         self.meta = jax.device_put(sw.meta)
         self.cum = jax.device_put(sw.cum)
         self.interpret = jax.default_backend() == "cpu"
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._uploader = ThreadPoolExecutor(1)
 
     def streaming_map(self, signals: list[ReadSignal]) -> list[PAFRecord]:
         records: dict[int, PAFRecord] = {}
@@ -312,9 +325,7 @@ class TurboMapper:
         n_full = np.zeros(B, np.int32)
         for i, s in enumerate(batch):
             n_full[i] = min(s.length // Cs, m.max_num_chunks)
-        # bucket the chunk capacity to a power of two (one compile per bucket)
         NC = max(1, int(n_full.max(initial=0)))
-        NC = 1 << (NC - 1).bit_length()
         sig = np.zeros((B, NC, Cs), np.float32)
         for i, s in enumerate(batch):
             L = min(s.length, NC * Cs)
@@ -322,9 +333,17 @@ class TurboMapper:
             flat[:L] = s.pa[:L]
         state = self._place_state(self._init_state(B))
         (chunk_idx, done, stopped, offsets, carry, rb_f, rb_i) = state
-        signals_d = self._place_signals(sig)
         n_full_d = jax.device_put(n_full, getattr(self, "_sh_d", None))
 
+        # per-round chunk slices, prefetched one round ahead: all active
+        # reads share the round's chunk index, so slice r is everything
+        # round r needs — upload rides a thread and overlaps compute
+        def put_slice(r):
+            return self._place_signals(
+                np.ascontiguousarray(sig[:, min(r, NC - 1)])
+            )
+
+        fut = self._uploader.submit(put_slice, 0)
         mt = np.zeros(B)
         prev_done = n_full == 0
         done_h = prev_done.copy()
@@ -332,6 +351,8 @@ class TurboMapper:
         ovf_warned = False
         while not done_h.all():
             t0 = time.perf_counter()
+            signals_d = fut.result()
+            fut = self._uploader.submit(put_slice, rounds + 1)
             out = self._run_round(
                 signals_d, n_full_d, chunk_idx, done, stopped, offsets,
                 carry, rb_f, rb_i,

@@ -51,6 +51,7 @@ def _kernel(
     sum_f, sum_i,                  # out [8, L] f32 / i32
     o_t, o_q, o_g, o_score, o_stt, o_stq, o_n, o_sumd,  # out ring [RING, L]
     scores_ref,                    # scratch [A, L] f32
+    stt_ref,                       # scratch [A, L] i32 chain start_t per row
     *, A, CARRY, RING, radius, dim, cfg: ChainingConfig,
 ):
     kio = jax.lax.broadcasted_iota(jnp.int32, (RING, LANES), 0)
@@ -103,6 +104,7 @@ def _kernel(
             c_n[i, :][None, :], c_sumd[i, :][None, :],
         )
         scores_ref[i, :] = s[0, :]
+        stt_ref[i, :] = row[4][0, :]
         best = best_update(best, row)
         ring, cur = push(
             ring, cur, v,
@@ -157,6 +159,7 @@ def _kernel(
             chained, extract(r_sumd, np.dtype(np.float32)) + d, d
         )
         scores_ref[i, :] = s[0, :]
+        stt_ref[i, :] = stt[0, :]
         best = best_update(best, (s, g, t, q, stt, stq, n, sumd))
         ring, cur = push(
             ring, cur, v, (s, t, q, jnp.where(v, g, -2), stt, stq, n, sumd)
@@ -171,13 +174,21 @@ def _kernel(
 
     s1, g1, te1, qe1, stt1, stq1, n1, sumd1 = best
 
-    # second chain: best score outside chain 1's target extent on its group
-    # (primary-chain overlap rule, spatial_index.cc:233-247)
+    # second chain: best score among anchors whose chain's target interval
+    # [stt, t] does NOT overlap chain 1's [stt1, te1] on the same reference
+    # sequence (GeneratePrimaryChains' overlap rule compares ref index only,
+    # spatial_index.cc:233-247; interval overlap — not just the endpoint —
+    # is what excludes sub/extension chains sharing chain 1's anchors, the
+    # device stand-in for traceback's used-anchor score subtraction,
+    # spatial_index.cc:165-220)
     def s2_row(i, acc):
         s = scores_ref[i, :][None, :]
         g = a_g[i, :][None, :]
         t = a_t[i, :][None, :]
-        excl = (g == g1) & (t >= stt1 - dim) & (t <= te1 + dim)
+        stt = stt_ref[i, :][None, :]
+        same_ref = (g >> 1) == (g1 >> 1)
+        overlap = (jnp.maximum(stt, stt1) <= jnp.minimum(t, te1))
+        excl = same_ref & overlap
         return jnp.maximum(acc, jnp.where(excl, NEG, s))
 
     s2 = jax.lax.fori_loop(
@@ -268,7 +279,8 @@ def chain_fused(
             + [jax.ShapeDtypeStruct((ring, Bp), jnp.int32)] * 3
             + [jax.ShapeDtypeStruct((ring, Bp), jnp.float32)]
         ),
-        scratch_shapes=[pltpu.VMEM((A, L), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((A, L), jnp.float32),
+                        pltpu.VMEM((A, L), jnp.int32)],
         interpret=interpret,
         # [A, L] anchor blocks are large (A = carry + seeds*K); with grid
         # G > 1 XLA double-buffers them, blowing the default 16 MB scoped
@@ -339,7 +351,8 @@ def chain_fused_ref(a_t, a_q, a_d, a_g, c_score, c_stt, c_stq, c_n, c_sumd,
             sum_i[:6, b] = (g1, stt, t1, stq, q1, n1)
             s2 = NEG
             for s in live:
-                if (s[3] == g1 and stt - dim <= s[1] <= t1 + dim):
+                if (s[3] // 2 == g1 // 2
+                        and max(s[4], stt) <= min(s[1], t1)):
                     continue
                 s2 = max(s2, s[0])
             sum_f[1, b] = s2

@@ -36,14 +36,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BLOCK = 128         # default seeds per block (multiple of 8)
-N_OFFSETS = 8       # 2^3 probe offsets over the leading 3 bucketed dims
 INF = 1.0e30
 
 
 def _kernel(
-    bm_ref,        # [17, G] i32 SMEM (scalar prefetch): rows 0..7 = first
-                   # tile per offset, rows 8..16 = exclusive tile cumsum
-                   # (transposed: SMEM lane-pads the last dim to 128)
+    bm_ref,        # [2*NO+1, G] i32 SMEM (scalar prefetch): rows 0..NO-1 =
+                   # first tile per offset, rows NO..2*NO = exclusive tile
+                   # cumsum (transposed: SMEM lane-pads the last dim to 128)
     seeds_ref,     # [BLOCK, 8] f32 VMEM
     tiles_ref,     # [T, 8, TILE] f32 ANY (HBM)
     meta_ref,      # [T, 8, TILE//8] i32 ANY (HBM)
@@ -51,13 +50,13 @@ def _kernel(
     out_d2_ref,    # [BLOCK, K] f32
     out_cnt_ref,   # [BLOCK, 2] i32 (total matches, written slots)
     wbuf, mbuf, sem, msem,
-    *, radius, K, TILE, dim, block,
+    *, radius, K, TILE, dim, block, n_offsets,
 ):
     g = pl.program_id(0)
     BLOCK = block
     col = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, TILE), 1)
     kcol = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, K), 1)
-    total = bm_ref[8 + N_OFFSETS, g]
+    total = bm_ref[2 * n_offsets, g]
     sq = seeds_ref[...]
     qsq = jnp.sum(sq * sq, axis=1, keepdims=True)  # [BLOCK, 1]
 
@@ -67,9 +66,11 @@ def _kernel(
     def tile_of(s):
         """Flat step -> global tile index (offset decoded via cumsum)."""
         t = bm_ref[0, g] + s
-        for oo in range(1, N_OFFSETS):
-            take = bm_ref[8 + oo, g] <= s
-            t = jnp.where(take, bm_ref[oo, g] + (s - bm_ref[8 + oo, g]), t)
+        for oo in range(1, n_offsets):
+            take = bm_ref[n_offsets + oo, g] <= s
+            t = jnp.where(
+                take, bm_ref[oo, g] + (s - bm_ref[n_offsets + oo, g]), t
+            )
         return t
 
     def dma(slot, s):
@@ -177,8 +178,8 @@ def _kernel(
                                   "block", "interpret"))
 def sweep_search(
     seeds: jax.Array,      # [Q, 8] f32, Q multiple of BLOCK, cell-key SORTED
-    blockmeta: jax.Array,  # [17, Q//BLOCK] i32: rows 0..7 first tile per
-                           # (block, offset); rows 8..16 excl. tile cumsum
+    blockmeta: jax.Array,  # [2*NO+1, Q//BLOCK] i32: rows 0..NO-1 first tile
+                           # per (block, offset); rows NO..2*NO tile cumsum
     tiles: jax.Array,   # [T, 8, TILE] f32
     meta: jax.Array,    # [T, 8, TILE//8] i32
     radius: float,
@@ -195,6 +196,7 @@ def sweep_search(
     actually written (== min(total, K))."""
     Q = seeds.shape[0]
     G = Q // block
+    n_offsets = (blockmeta.shape[0] - 1) // 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(G,),
@@ -221,7 +223,7 @@ def sweep_search(
     )
     return pl.pallas_call(
         partial(_kernel, radius=radius, K=K, TILE=TILE, dim=dim,
-                block=block),
+                block=block, n_offsets=n_offsets),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((Q, K), jnp.int32),

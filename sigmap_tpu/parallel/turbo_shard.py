@@ -171,19 +171,22 @@ class TurboShardMapper(TurboMapper):
         self.meta = jax.device_put(ss.meta, sh_i)
         self.cum = jax.device_put(ss.cum, sh_i)
         self.interpret = jax.default_backend() == "cpu"
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._uploader = ThreadPoolExecutor(1)
         m = config.mapping
         self._round = make_sharded_round(
             mesh, params, m.step_size, m.search_radius, index.dim,
             config.event, config.chain, m, interpret=self.interpret,
         )
         self._sh_d = NamedSharding(mesh, P("data"))
-        self._sh_d3 = NamedSharding(mesh, P("data", None, None))
+        self._sh_d2 = NamedSharding(mesh, P("data", None))
         self._sh_nd = NamedSharding(mesh, P(None, "data"))
 
     # --- hooks used by TurboMapper._map_batch ---------------------------
 
     def _place_signals(self, sig: np.ndarray):
-        return jax.device_put(sig, self._sh_d3)
+        return jax.device_put(sig, self._sh_d2)
 
     def _place_state(self, state):
         chunk_idx, done, stopped, offsets, carry, rb_f, rb_i = state

@@ -66,13 +66,14 @@ def main(genome_mb=2.0, B=256, S=256, K=16, TILE=1024):
         R = ss.SWEEP_RADIX
         w = jnp.float32(2.0 * np.sqrt(radius))
         delta = jnp.float32(np.sqrt(radius))
-        qc = jnp.clip(jnp.floor((seeds[:, :ss.SWEEP_DIMS] - delta) / w)
+        bd = 4
+        qc = jnp.clip(jnp.floor((seeds[:, :bd] - delta) / w)
                       .astype(jnp.int32) + ss.SWEEP_OFFSET, 0, R - 1)
         skey = ((qc[:, 0] * R + qc[:, 1]) * R + qc[:, 2]) * R + qc[:, 3]
         _, perm = _jax.lax.sort((skey, jnp.arange(Q, dtype=jnp.int32)), num_keys=1)
         seeds_s = jnp.take(seeds, perm, axis=0)
         iperm = jnp.zeros((Q,), jnp.int32).at[perm].set(jnp.arange(Q, dtype=jnp.int32))
-        klo, khi = ss.seed_cell_bounds(seeds_s, radius)
+        klo, khi = ss.seed_cell_bounds(seeds_s, radius, 4)
         G = Q // ss.BLOCK
         bmin = klo.reshape(G, ss.BLOCK, 8).min(axis=1)
         bmax = khi.reshape(G, ss.BLOCK, 8).max(axis=1)

@@ -74,24 +74,27 @@ def main():
             L = min(s.length, NC * Cs)
             sig[i].reshape(-1)[:L] = s.pa[:L]
         t0 = time.perf_counter()
-        signals_d = jax.device_put(sig)
-        jax.block_until_ready(signals_d)
+        sl0 = jax.device_put(np.ascontiguousarray(sig[:, 0]))
+        np.asarray(sl0.ravel()[:1])
         up = time.perf_counter() - t0
-        log(f"B={B}: upload {sig.nbytes/1e6:.0f} MB in {up*1000:.0f} ms "
-            f"({sig.nbytes/up/1e6:.0f} MB/s)")
+        log(f"B={B}: slice upload {sig[:, 0].nbytes/1e6:.0f} MB in "
+            f"{up*1000:.0f} ms ({sig[:, 0].nbytes/up/1e6:.0f} MB/s)")
         n_full_d = jax.device_put(n_full)
         state = tm._init_state(B)
         (chunk_idx, done, stopped, offsets, carry, rb_f, rb_i) = state
 
         t0 = time.perf_counter()
-        out = tm._run_round(signals_d, n_full_d, chunk_idx, done, stopped,
+        out = tm._run_round(sl0, n_full_d, chunk_idx, done, stopped,
                             offsets, carry, rb_f, rb_i)
         np.asarray(out[-1])
         log(f"B={B}: first round (compile) {time.perf_counter()-t0:.1f}s")
         times = []
         for r in range(args.rounds):
+            slr = jax.device_put(
+                np.ascontiguousarray(sig[:, min(r + 1, NC - 1)])
+            )
             t0 = time.perf_counter()
-            out = tm._run_round(signals_d, n_full_d, *out[:7])
+            out = tm._run_round(slr, n_full_d, *out[:7])
             hs = np.asarray(out[-1])
             dt = time.perf_counter() - t0
             times.append(dt)
@@ -102,7 +105,7 @@ def main():
             f"{B/tpr:.0f} read-rounds/s")
 
     if args.stages:
-        _stages(tm, signals_d, n_full_d, B, NC, log)
+        _stages(tm, sl0, n_full_d, B, NC, log)
 
 
 def _stages(tm, signals_d, n_full_d, B, NC, log):
@@ -122,18 +125,22 @@ def _stages(tm, signals_d, n_full_d, B, NC, log):
     state = tm._init_state(B)
     (chunk_idx, done, stopped, offsets, carry, rb_f, rb_i) = state
 
+    def sync(o):
+        for x in jax.tree.leaves(o):
+            np.asarray(x.ravel()[:1])
+
     def tit(fn, *a, label="", reps=5, **kw):
         out = fn(*a, **kw)
-        jax.block_until_ready(out)
+        sync(out)
         t0 = time.perf_counter()
         for _ in range(reps):
             out = fn(*a, **kw)
-            jax.block_until_ready(out)
+            sync(out)
         log(f"  {label}: {(time.perf_counter()-t0)/reps*1000:.1f} ms")
         return out
 
-    ch = signals_d[:, 0]
-    clen = jnp.full((B,), signals_d.shape[2], jnp.int32)
+    ch = signals_d
+    clen = jnp.full((B,), signals_d.shape[1], jnp.int32)
 
     ev = functools.partial(
         batch_generate_events, cfg=tm.cfg.event, max_events=p.max_events,
