@@ -73,10 +73,7 @@ def bench_tpu(cfg, idx, signals, batch, engine="turbo"):
     import dataclasses
 
     cfg = dataclasses.replace(
-        cfg, runtime=dataclasses.replace(
-            cfg.runtime, read_batch=batch,
-            search_impl="kernel" if engine == "fast" else "xla",
-        )
+        cfg, runtime=dataclasses.replace(cfg.runtime, read_batch=batch)
     )
     if engine == "turbo":
         from sigmap_tpu.mapping.turbo import TurboMapper
@@ -87,10 +84,7 @@ def bench_tpu(cfg, idx, signals, batch, engine="turbo"):
         from sigmap_tpu.mapping.driver import Mapper
 
         mapper = Mapper(idx, cfg)
-        run = (
-            mapper.streaming_map_fast if engine == "fast"
-            else mapper.streaming_map
-        )
+        run = mapper.streaming_map
     log(f"tpu[{engine}]: warmup (compile)...")
     t0 = time.perf_counter()
     run(signals[: min(batch, len(signals))])
@@ -146,10 +140,10 @@ def main():
     ap.add_argument("--read-bases", type=int, default=3000)
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--baseline-threads", type=int, default=4)
-    ap.add_argument("--engine", choices=["turbo", "fast", "exact"],
+    ap.add_argument("--engine", choices=["turbo", "exact"],
                     default="turbo",
                     help="TPU path: turbo (device-resident sweep+fused "
-                         "chain), fast (scatter/sort kernels) or exact")
+                         "chain) or exact (host chaining oracle)")
     args = ap.parse_args()
     from sigmap_tpu.utils import enable_compilation_cache
 

@@ -53,14 +53,14 @@ def build_parser() -> argparse.ArgumentParser:
                     help="Best/mean score ratio to output mappings [5]")
     ap.add_argument("--batch-mode", action="store_true",
                     help="Whole-read (non-streaming) mapping, like Sigmap::Map")
-    ap.add_argument("--fast-mode", action="store_true",
-                    help="All-device streaming rounds (banded chaining)")
+    ap.add_argument(
+        "--engine", choices=["turbo", "exact"], default="turbo",
+        help="Streaming engine: turbo (device-resident rounds, the "
+             "production path) or exact (host chaining oracle) [turbo]")
     ap.add_argument("--read-batch", type=int, default=128,
                     help="Reads mapped concurrently on device [128]")
     ap.add_argument("--rna", action="store_true",
                     help="RNA event-detector preset (event.h:39-43)")
-    ap.add_argument("--search-engine", choices=["xla", "kernel"],
-                    default="xla", help="Device radius-search backend")
     ap.add_argument(
         "--debug-mode",
         choices=["dtw-align", "cwt-align", "fast5-to-text", "events-to-text"],
@@ -93,10 +93,7 @@ def make_config(args) -> "SigmapConfig":
             stop_mapping_mean_ratio=args.stop_mapping_mean,
             output_mapping_mean_ratio=args.stop_mapping_mean_output,
         ),
-        runtime=RuntimeConfig(
-            read_batch=args.read_batch,
-            search_impl=getattr(args, "search_engine", "xla"),
-        ),
+        runtime=RuntimeConfig(read_batch=args.read_batch),
     )
 
 
@@ -127,7 +124,6 @@ def run_map(args) -> int:
     from .index.build import SignalIndex
     from .io.paf import PAFWriter
     from .io.signals import load_all_read_signals
-    from .mapping.driver import Mapper
 
     for flag, name in (
         (args.ref, "reference"), (args.pore_model, "pore model"),
@@ -166,13 +162,20 @@ def run_map(args) -> int:
         args.sig_dir, cfg.mapping.pa_lo, cfg.mapping.pa_hi
     )
     print(f"Loaded {len(signals)} reads.", file=sys.stderr)
-    mapper = Mapper(idx, cfg)
+    # engine dispatch (the reference's -m always streams, sigmap.cc:1456-1504;
+    # batch mode mirrors the compiled-but-not-dispatched Sigmap::Map)
     if args.batch_mode:
-        records = mapper.map_reads(signals)
-    elif args.fast_mode:
-        records = mapper.streaming_map_fast(signals)
+        from .mapping.driver import Mapper
+
+        records = Mapper(idx, cfg).map_reads(signals)
+    elif args.engine == "exact":
+        from .mapping.driver import Mapper
+
+        records = Mapper(idx, cfg).streaming_map(signals)
     else:
-        records = mapper.streaming_map(signals)
+        from .mapping.turbo import TurboMapper
+
+        records = TurboMapper(idx, cfg).streaming_map(signals)
     writer = PAFWriter(args.output, idx.ref_names, idx.ref_lengths)
     for rec in records:
         writer.append(rec)

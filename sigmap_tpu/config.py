@@ -108,20 +108,13 @@ class RuntimeConfig:
     read_batch: int = 128         # reads mapped concurrently per device step
     max_events: int = 1024        # event slots per 4000-sample chunk
     max_features: int = 1024      # compressed feature slots per chunk
-    # radius-search tiling (see mapping/seeding.py)
+    # exact-engine radius-search tiling (see mapping/seeding.py); the turbo
+    # engine sizes itself via TurboParams (mapping/turbo.py)
     seeds_per_tile: int = 64
     cap_per_seed: int = 32768     # candidate budget per seed
     surv_per_tile: int = 262144   # stage-2 survivors per tile
     matches_per_tile: int = 32768
     autotune_search: bool = True  # size candidate budgets from the index
-    # radius-search backend: "xla" (portable), "kernel" (Pallas TPU),
-    # "kernel_interpret" (kernel on CPU for testing), "flat" (one-stage
-    # hash-probe search; fastest on TPU)
-    search_impl: str = "xla"
-    # total per-round candidate-slot budget for the "flat" engine
-    flat_t_cap: int = 1 << 22
-    use_native_chainer: bool = True
-    interpret_pallas: bool = False  # pallas interpreter mode (CPU testing)
 
 
 @dataclass(frozen=True)

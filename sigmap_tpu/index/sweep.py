@@ -83,7 +83,11 @@ class SweepIndex:
     @staticmethod
     def build(idx: SignalIndex, radius: float, tile: int = 1024
               ) -> "SweepIndex":
-        """Re-sort a SignalIndex's windows by the sweep grid and tile them."""
+        """Re-sort a SignalIndex's windows by the sweep grid and tile them.
+
+        tile must be a multiple of 1024 on real TPU (meta tiles are
+        [8, tile//8] i32 and Mosaic needs the minor dim 128-aligned);
+        smaller tiles only work in interpret mode (CPU tests)."""
         nw = idx.n_windows
         dim = idx.dim
         if dim < 2:

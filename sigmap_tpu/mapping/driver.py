@@ -48,7 +48,6 @@ class _ReadState:
     mt_ms: float = 0.0
     done: bool = False
     stopped_early: bool = False
-    fast_summary: tuple = None
 
 
 class Mapper:
@@ -117,16 +116,7 @@ class Mapper:
             v2 = np.zeros(n_tiles_b * p.seeds_per_tile, bool)
             v2[: len(valid)] = valid
             padded, valid, n_tiles = pad2, v2, n_tiles_b
-        impl = self.cfg.runtime.search_impl
-        if impl.startswith("kernel"):
-            from .seeding import search_flat_kernel
-
-            out = search_flat_kernel(
-                self.dev, padded, valid,
-                interpret=(impl == "kernel_interpret"),
-            )
-        else:
-            out = search_flat(self.dev, padded, valid, n_tiles)
+        out = search_flat(self.dev, padded, valid, n_tiles)
         sids, widx, dist, _, ovf = flatten_matches(out, p)
         if ovf.any():
             import sys
@@ -363,212 +353,6 @@ class Mapper:
             active = still_active
 
         return [records[i] for i in range(len(signals)) if i in records]
-
-    # ------------------------------------------------- fast (device) mode --
-
-    def streaming_map_fast(self, signals: list[ReadSignal]) -> list[PAFRecord]:
-        """All-device streaming rounds (mapping/fast_round.py): banded
-        chaining, approximate chain selection; only per-read summaries
-        cross to host.  See fast_round docstring for semantic divergences
-        from the exact path."""
-        import jax.numpy as jnp
-
-        from .fast_round import fast_round
-
-        m = self.cfg.mapping
-        rt = self.cfg.runtime
-        B = rt.read_batch
-        Cs = m.chunk_size
-        CARRY = 512
-        carry = (
-            jnp.zeros((B, CARRY), jnp.int32),
-            jnp.zeros((B, CARRY), jnp.int32),
-            jnp.zeros((B, CARRY), jnp.float32),
-            jnp.full((B, CARRY), -1, jnp.int32),
-        )
-        offsets = jnp.zeros((B,), jnp.int32)
-        states = [_ReadState(i, s) for i, s in enumerate(signals)]
-        pending = list(reversed(states))
-        slots: list[_ReadState | None] = [None] * B
-        records: dict[int, PAFRecord] = {}
-        reset = np.zeros(B, bool)
-        import jax
-
-        on_cpu = jax.default_backend() == "cpu"
-        interpret = rt.search_impl == "kernel_interpret" or on_cpu
-        use_pallas = rt.search_impl == "kernel" and not on_cpu
-        search_impl = "flat" if rt.search_impl == "flat" else "kernel"
-        peaks_impl = "pallas" if use_pallas else "scan"
-        chain_impl = "pallas" if use_pallas else "scan"
-
-        while pending or any(s is not None for s in slots):
-            for i in range(B):
-                if slots[i] is None and pending:
-                    st = pending.pop()
-                    if st.signal.length // Cs == 0 or m.max_num_chunks == 0:
-                        self._finish_streaming(st, records)
-                        continue
-                    slots[i] = st
-                    reset[i] = True
-            if not any(s is not None for s in slots):
-                break
-            t0 = time.perf_counter()
-            chunks = np.zeros((B, Cs), np.float32)
-            lengths = np.zeros(B, np.int32)
-            for i, st in enumerate(slots):
-                if st is None:
-                    continue
-                lo = st.chunk_index * Cs
-                seg = st.signal.pa[lo : min(lo + Cs, st.signal.length)]
-                chunks[i, : len(seg)] = seg
-                lengths[i] = len(seg)
-            out = fast_round(
-                self.dev, jnp.asarray(chunks), jnp.asarray(lengths),
-                *carry, offsets, jnp.asarray(reset),
-                step=m.step_size, a_cap=8192, carry_cap=CARRY,
-                ed_cfg=self.cfg.event, chain_cfg=self.cfg.chain,
-                search_interpret=interpret, peaks_impl=peaks_impl,
-                chain_impl=chain_impl, search_impl=search_impl,
-                t_cap=rt.flat_t_cap,
-            )
-            summary_f, summary_i, counts, carry, offsets, ovf = out
-            sf = np.asarray(summary_f)
-            si = np.asarray(summary_i)
-            cnts = np.asarray(counts)
-            ovf_h = np.asarray(ovf)
-            if ovf_h.any():
-                # slot overflow silently drops anchors (undersized
-                # flat_t_cap / a_cap / carry_cap) -> results may be wrong;
-                # mirror the exact path's warning (see _search above)
-                import sys
-
-                print(
-                    "warning: fast-round overflow flags "
-                    f"[match={bool(ovf_h[0])} anchors={bool(ovf_h[1])} "
-                    f"carry={bool(ovf_h[2])}]; raise runtime.flat_t_cap / "
-                    "anchor caps or results may drop anchors",
-                    file=sys.stderr,
-                )
-            round_ms = (
-                (time.perf_counter() - t0) * 1000
-                / max(1, sum(s is not None for s in slots))
-            )
-            reset[:] = False
-            for i, st in enumerate(slots):
-                if st is None:
-                    continue
-                st.mt_ms += round_ms
-                s1, s2 = float(sf[i, 0]), float(sf[i, 1])
-                n1 = int(si[i, 5])
-                nc = int(si[i, 6])
-                st.fast_summary = (sf[i].copy(), si[i].copy())
-                if cnts[i] > m.min_feature_length:
-                    st.num_events += int(cnts[i])
-                stop = False
-                if s1 > 0 and cnts[i] > m.min_feature_length:
-                    if nc >= 2 and s2 > 0:
-                        if s1 / s2 >= m.stop_mapping_ratio:
-                            stop = True
-                        elif s1 >= m.stop_mapping_mean_ratio * (s1 + s2) / 2:
-                            stop = True
-                    elif nc == 1 and n1 >= m.stop_mapping_min_num_anchors:
-                        stop = True
-                if stop:
-                    st.stopped_early = True
-                    self._finish_fast(st, records)
-                    slots[i] = None
-                    reset[i] = True
-                    continue
-                st.chunk_index += 1
-                exhausted = (
-                    st.chunk_index >= st.signal.length // Cs
-                    or st.chunk_index >= m.max_num_chunks
-                )
-                if exhausted:
-                    self._finish_fast(st, records)
-                    slots[i] = None
-                    reset[i] = True
-        return [records[i] for i in range(len(signals)) if i in records]
-
-    def _finish_fast(self, st: _ReadState, records: dict) -> None:
-        """Fast-mode decision + emission from the device summary."""
-        m = self.cfg.mapping
-        chunk_index = st.chunk_index
-        num_chunks = st.signal.length // m.chunk_size
-        if chunk_index > 0 and (
-            chunk_index == num_chunks or chunk_index == m.max_num_chunks
-        ):
-            chunk_index -= 1
-        ci = chunk_index + 1
-        sl = st.signal.length
-        sf, si = getattr(st, "fast_summary", (None, None))
-        if sf is None:
-            records[st.index] = PAFRecord(
-                read_id=st.index, read_name=st.signal.read_id,
-                read_length=sl, read_start=0, read_end=0, ref_index=0,
-                fragment_start=0, fragment_length=0, mapq=61, direction=0,
-                tags=streaming_tags(st.mt_ms, ci, sl, None),
-            )
-            return
-        s1, s2, sumd1 = float(sf[0]), float(sf[1]), float(sf[2])
-        g1, t_start, t_end, q_start, q_end, n1, nc, _, _ = (
-            int(x) for x in si
-        )
-        scale = 0.0
-        if st.num_events > 0:
-            scale = (ci * m.chunk_size / st.num_events) / (
-                m.sample_rate / m.bp_per_sec
-            )
-        out_ok = s1 > 0 and (
-            (nc >= 2 and s2 > 0 and (
-                s1 / s2 >= m.output_mapping_ratio
-                or s1 >= m.output_mapping_mean_ratio * (s1 + s2) / 2
-            ))
-            or (nc == 1 and n1 >= m.output_mapping_min_num_anchors)
-        )
-        if out_ok:
-            ref_index = g1 // 2
-            strand_bit = g1 % 2
-            ref_len = self.index.ref_lengths[ref_index]
-            tstart = (
-                t_start if strand_bit == 0 else ref_len + 1 - t_end
-            )
-            mapq = 60 if nc == 1 else max(
-                0, min(60, int(40 * (1 - s2 / s1)))
-            )
-            summ = ChainsSummary(
-                num_anchors=n1, num_chains=nc, s1=s1, s2=s2,
-                sm=(s1 + s2) / nc if nc else s1,
-                ad=sumd1 / max(1, n1),
-                at=(t_end - t_start) / max(1, n1),
-                aq=(q_end - q_start) / max(1, n1),
-            )
-            records[st.index] = PAFRecord(
-                read_id=st.index, read_name=st.signal.read_id,
-                read_length=sl,
-                read_start=int(scale * q_start),
-                read_end=int(scale * q_end),
-                ref_index=ref_index, fragment_start=int(tstart),
-                fragment_length=int(t_end - t_start + 1),
-                mapq=mapq, direction=1 if strand_bit == 0 else 0,
-                tags=streaming_tags(st.mt_ms, ci, sl, summ),
-            )
-        else:
-            summ = None
-            if s1 > 0:
-                summ = ChainsSummary(
-                    num_anchors=n1, num_chains=nc, s1=s1, s2=s2,
-                    sm=(s1 + s2) / nc if nc else s1,
-                    ad=sumd1 / max(1, n1),
-                    at=(t_end - t_start) / max(1, n1),
-                    aq=(q_end - q_start) / max(1, n1),
-                )
-            records[st.index] = PAFRecord(
-                read_id=st.index, read_name=st.signal.read_id,
-                read_length=sl, read_start=0, read_end=0, ref_index=0,
-                fragment_start=0, fragment_length=0, mapq=61, direction=0,
-                tags=streaming_tags(st.mt_ms, ci, sl, summ),
-            )
 
     def _finish_streaming(self, st: _ReadState, records: dict) -> None:
         """Decision + emission (sigmap.cc:690-866)."""

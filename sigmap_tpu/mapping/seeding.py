@@ -61,61 +61,15 @@ class SearchParams:
         return self.seeds_per_tile * self.cap_per_seed
 
 
-# Knuth multiplicative hash over int32 cell keys (keys < 35^6 < 2^31).
-HASH_MULT = 2654435761
-
-
-def build_cell_hash(cell_keys: np.ndarray, cell_starts: np.ndarray,
-                    entries: int = 4, min_bits: int = 10
-                    ) -> tuple[np.ndarray, int]:
-    """Host-built bucketized hash table: cell key -> (start, len).
-
-    Returns (tbl [H, entries, 3] i32 with rows (key, start, len), bits)
-    where H = 1 << bits.  Empty entries hold key == -1, len == 0.  The
-    table doubles until no bucket overflows; on device a probe is ONE
-    row gather + an `entries`-wide compare (replacing `searchsorted`,
-    which lowers to ~2*log2(K) serial gathers and measures ~10x slower
-    than arithmetic hashing on v5e).
-    """
-    K = len(cell_keys)
-    keys = cell_keys.astype(np.int64)
-    starts = cell_starts[:-1].astype(np.int32)
-    lens = (cell_starts[1:] - cell_starts[:-1]).astype(np.int32)
-    bits = max(min_bits, int(np.ceil(np.log2(max(K, 2)))))
-    while True:
-        # _lookup_cells indexes htbl with a signed int32 hash; keys are
-        # < 35^6 < 2^31 so the Knuth multiply stays collision-free well
-        # before this bound is ever approached.
-        assert bits < 32, "cell hash table would overflow int32 indexing"
-        H = 1 << bits
-        h = (
-            (keys.astype(np.uint64) * np.uint64(HASH_MULT))
-            & np.uint64(0xFFFFFFFF)
-        ) >> np.uint64(32 - bits)
-        h = h.astype(np.int64)
-        order = np.argsort(h, kind="stable")
-        hs = h[order]
-        first = np.searchsorted(hs, hs)
-        rank = np.arange(K) - first
-        if K == 0 or rank.max(initial=0) < entries:
-            break
-        bits += 1
-    tbl = np.full((1 << bits, entries, 3), -1, np.int32)
-    tbl[..., 2] = 0
-    if K:
-        tbl[hs, rank, 0] = keys[order].astype(np.int32)
-        tbl[hs, rank, 1] = starts[order]
-        tbl[hs, rank, 2] = lens[order]
-    return tbl, bits
 
 
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=[
-        "W4", "W8", "WT", "perm", "win_group", "win_pos", "cell_keys",
-        "cell_starts", "htbl", "pos_sorted", "group_sorted",
+        "W4", "W8", "perm", "win_group", "win_pos", "cell_keys",
+        "cell_starts",
     ],
-    meta_fields=["n_windows", "params", "hash_bits"],
+    meta_fields=["n_windows", "params"],
 )
 @dataclass
 class DeviceIndex:
@@ -123,24 +77,17 @@ class DeviceIndex:
 
     W4: jax.Array          # [Nw, 4] f32 leading dims (stage-1 rows)
     W8: jax.Array          # [Nw, 8] f32 full windows, zero-padded dims
-    WT: jax.Array          # [8, Nw+pad] f32 sublane-transposed (kernel path)
     perm: jax.Array        # [Nw] i32 sorted-window -> original window idx
     win_group: jax.Array   # [Nw] i32 (by ORIGINAL window idx) signal*2+strand
     win_pos: jax.Array     # [Nw] i32 (by ORIGINAL window idx)
     cell_keys: jax.Array   # [K] i32 sorted occupied cell keys
     cell_starts: jax.Array  # [K+1] i32
-    htbl: jax.Array        # [H, E, 3] i32 bucketized cell hash (key,start,len)
-    pos_sorted: jax.Array   # [Nw] i32 win_pos in SORTED window order
-    group_sorted: jax.Array  # [Nw] i32 win_group in SORTED window order
     n_windows: int
     params: SearchParams
-    hash_bits: int
 
     @staticmethod
     def from_host(idx: SignalIndex, radius: float = 0.08,
-                  with_transposed: bool = True, **tile_kw) -> "DeviceIndex":
-        from ..ops.range_search_kernel import SUB
-
+                  **tile_kw) -> "DeviceIndex":
         W = idx.windows_sorted(pad_to=8)
         params = SearchParams(
             radius=radius, dim=idx.dim, bucket_dims=idx.bucket_dims,
@@ -148,28 +95,16 @@ class DeviceIndex:
         )
         if idx.win_group is None:
             idx.derive_window_metadata()
-        if with_transposed:
-            WT = np.zeros((8, len(W) + SUB), np.float32)
-            WT[:, : len(W)] = W.T
-        else:
-            WT = np.zeros((8, 1), np.float32)
-        htbl, hash_bits = build_cell_hash(idx.cell_keys, idx.cell_starts)
-        perm = idx.perm.astype(np.int64)
         return DeviceIndex(
             W4=jnp.asarray(W[:, :4]),
             W8=jnp.asarray(W),
-            WT=jnp.asarray(WT),
             perm=jnp.asarray(idx.perm, jnp.int32),
             win_group=jnp.asarray(idx.win_group, jnp.int32),
             win_pos=jnp.asarray(idx.win_pos, jnp.int32),
             cell_keys=jnp.asarray(idx.cell_keys, jnp.int32),
             cell_starts=jnp.asarray(idx.cell_starts, jnp.int32),
-            htbl=jnp.asarray(htbl),
-            pos_sorted=jnp.asarray(idx.win_pos[perm], jnp.int32),
-            group_sorted=jnp.asarray(idx.win_group[perm], jnp.int32),
             n_windows=idx.n_windows,
             params=params,
-            hash_bits=hash_bits,
         )
 
 
@@ -342,196 +277,6 @@ def flatten_matches(out, params: SearchParams):
     widx = np.asarray(jax.lax.slice_in_dim(f_widx, 0, kb))[:k]
     dist = np.asarray(jax.lax.slice_in_dim(f_dist, 0, kb))[:k]
     return sids, widx, dist, int(nc), np.asarray(ovf)
-
-
-def _probe_ranges_merged(dev: DeviceIndex, q: jax.Array, q_valid: jax.Array):
-    """Probe ranges merged over the LAST bucketed dim: each of the
-    3^(bd-1) leading-dim combos yields one contiguous span covering the
-    2-3 adjacent last-dim cells (adjacent radix keys are adjacent in the
-    sorted window order, empties included for free).
-
-    Returns (starts [Qt, P'], lens [Qt, P']) with P' = span^(bd-1).
-    """
-    p = dev.params
-    bd = p.bucket_dims
-    delta = np.float32(np.sqrt(p.radius))
-    w = np.float32(p.cell_width)
-    off = SignalIndex.CELL_OFFSET
-    radix = SignalIndex.CELL_RADIX
-    qb = q[:, :bd]
-    lo = jnp.clip(
-        jnp.floor((qb - delta) / w).astype(jnp.int32) + off, 0, radix - 1
-    )
-    hi = jnp.clip(
-        jnp.floor((qb + delta) / w).astype(jnp.int32) + off, 0, radix - 1
-    )
-    span = int(np.ceil(2 * np.sqrt(p.radius) / p.cell_width)) + 1
-    probes = np.array(
-        list(itertools.product(range(span), repeat=bd - 1)), np.int32
-    )  # [P', bd-1]
-    coords = lo[:, None, : bd - 1] + jnp.asarray(probes)[None, :, :]
-    valid = (
-        jnp.all(coords <= hi[:, None, : bd - 1], axis=-1) & q_valid[:, None]
-    )
-    prefix = jnp.zeros(coords.shape[:2], jnp.int32)
-    for d in range(bd - 1):
-        prefix = prefix * radix + coords[..., d]
-    key_lo = prefix * radix + lo[:, None, bd - 1]
-    key_hi = prefix * radix + hi[:, None, bd - 1]
-    K = dev.cell_keys.shape[0]
-    r_lo = jnp.searchsorted(dev.cell_keys, key_lo.reshape(-1)).reshape(
-        key_lo.shape
-    )
-    r_hi = jnp.searchsorted(
-        dev.cell_keys, key_hi.reshape(-1) + 1
-    ).reshape(key_hi.shape)
-    starts = dev.cell_starts[jnp.clip(r_lo, 0, K)]
-    ends = dev.cell_starts[jnp.clip(r_hi, 0, K)]
-    lens = jnp.where(valid, ends - starts, 0)
-    return starts, lens
-
-
-@partial(jax.jit, static_argnames=("interpret",))
-def search_flat_kernel(dev: DeviceIndex, seeds: jax.Array,
-                       seeds_valid: jax.Array, interpret: bool = False):
-    """Kernel-backed radius search (drop-in for search_flat's output
-    contract: (sid, widx, dist, total, n_cand, ovf))."""
-    from ..ops.range_search_kernel import SEEDS_PER_PROG, range_search_pallas
-
-    p = dev.params
-    Q = seeds.shape[0]
-    starts, lens = _probe_ranges_merged(dev, seeds, seeds_valid)
-    row_cum = jnp.cumsum(lens, axis=1)
-    allowed = jnp.clip(p.cap_per_seed - (row_cum - lens), 0, None)
-    seed_ovf = jnp.any(lens > allowed)
-    lens = jnp.minimum(lens, allowed)
-    n_cand = lens.sum()
-    M = 1024
-    m_idx, m_dist, m_cnt = range_search_pallas(
-        starts, lens, seeds, dev.WT, p.radius, R=starts.shape[1], M=M,
-        interpret=interpret,
-    )
-    match_ovf = jnp.any(m_cnt > M)
-    m_cnt = jnp.minimum(m_cnt, M)
-    mask = (jnp.arange(M)[None, :] < m_cnt[:, None]).reshape(-1)
-    sid = jnp.repeat(jnp.arange(Q, dtype=jnp.int32)[:, None], M, 1).reshape(-1)
-    (f_sid, f_widx, f_dist), total = _compact(
-        (sid, dev.perm[m_idx.reshape(-1)], m_dist.reshape(-1)), mask, Q * M
-    )
-    ovf = jnp.stack([seed_ovf, jnp.bool_(False), match_ovf])
-    return f_sid, f_widx, f_dist, total, n_cand, ovf
-
-
-def _lookup_cells(dev: DeviceIndex, key: jax.Array, valid: jax.Array):
-    """Batched hash-table lookup: int32 cell keys -> (start, len).
-
-    One row gather of [E, 3] per key + an E-wide compare; missing cells
-    return len == 0 (every occupied cell holds >= 1 window)."""
-    bits = dev.hash_bits
-    h = (
-        key.astype(jnp.uint32) * np.uint32(HASH_MULT)
-    ) >> np.uint32(32 - bits)
-    rows = dev.htbl[h.astype(jnp.int32)]              # [..., E, 3]
-    eq = (rows[..., 0] == key[..., None]) & valid[..., None]
-    start = jnp.sum(jnp.where(eq, rows[..., 1], 0), axis=-1)
-    length = jnp.sum(jnp.where(eq, rows[..., 2], 0), axis=-1)
-    return start, length
-
-
-def _probe_ranges_hash(dev: DeviceIndex, q: jax.Array, q_valid: jax.Array):
-    """Hash-probe variant of _probe_ranges_merged: same (starts, lens)
-    [Qt, P'] contract (spans merged over the last bucketed dim), but cell
-    ranges come from the O(1) bucketized hash instead of searchsorted.
-
-    Merging stays exact: within one leading-dim prefix, consecutive
-    last-dim cell keys are consecutive integers, so their window ranges
-    are contiguous in the sorted order (absent cells contribute zero
-    windows in between)."""
-    p = dev.params
-    bd = p.bucket_dims
-    delta = np.float32(np.sqrt(p.radius))
-    w = np.float32(p.cell_width)
-    off = SignalIndex.CELL_OFFSET
-    radix = SignalIndex.CELL_RADIX
-    qb = q[:, :bd]
-    lo = jnp.clip(
-        jnp.floor((qb - delta) / w).astype(jnp.int32) + off, 0, radix - 1
-    )
-    hi = jnp.clip(
-        jnp.floor((qb + delta) / w).astype(jnp.int32) + off, 0, radix - 1
-    )
-    span = int(np.ceil(2 * np.sqrt(p.radius) / p.cell_width)) + 1
-    probes = np.array(
-        list(itertools.product(range(span), repeat=bd - 1)), np.int32
-    )  # [P', bd-1]
-    coords = lo[:, None, : bd - 1] + jnp.asarray(probes)[None, :, :]
-    pvalid = (
-        jnp.all(coords <= hi[:, None, : bd - 1], axis=-1) & q_valid[:, None]
-    )
-    prefix = jnp.zeros(coords.shape[:2], jnp.int32)
-    for d in range(bd - 1):
-        prefix = prefix * radix + coords[..., d]
-    # last-dim cells lo..hi (<= span of them), one hash lookup each
-    s = jnp.arange(span, dtype=jnp.int32)
-    keys = prefix[..., None] * radix + (
-        lo[:, None, None, bd - 1] + s[None, None, :]
-    )                                                  # [Qt, P', span]
-    kvalid = pvalid[..., None] & (
-        lo[:, None, None, bd - 1] + s[None, None, :]
-        <= hi[:, None, None, bd - 1]
-    )
-    cstart, clen = _lookup_cells(dev, keys, kvalid)    # [Qt, P', span]
-    found = clen > 0
-    INF = np.int32(2**31 - 1)
-    first = jnp.min(jnp.where(found, cstart, INF), axis=-1)
-    last = jnp.max(jnp.where(found, cstart + clen, -1), axis=-1)
-    any_found = jnp.any(found, axis=-1)
-    starts = jnp.where(any_found, first, 0)
-    lens = jnp.where(any_found, last - first, 0)
-    return starts, lens
-
-
-def search_round_flat(dev: DeviceIndex, seeds: jax.Array,
-                      seed_valid: jax.Array, t_cap: int):
-    """One-stage flat radius search over a whole round's seeds.
-
-    seeds must be ordered read-major (all of read 0's seeds, then read
-    1's, ...) so downstream per-read compaction can use one global
-    cumsum.  Returns per-SLOT flat arrays of length t_cap:
-      (sid, widx_sorted, d2, match, offs, n_cand, ovf)
-    where offs[r] is range r's first slot (ranges = seeds x P' probe
-    spans, row-major), widx_sorted indexes the SORTED window order
-    (gather dev.pos_sorted/group_sorted, or dev.perm for original ids),
-    and match marks slots whose full squared distance beats the strict
-    < radius test (nanoflann.hpp:249).
-    """
-    p = dev.params
-    starts, lens = _probe_ranges_hash(dev, seeds, seed_valid)  # [Q, P']
-    row_cum = jnp.cumsum(lens, axis=1)
-    allowed = jnp.clip(p.cap_per_seed - (row_cum - lens), 0, None)
-    seed_ovf = jnp.any(lens > allowed)
-    lens = jnp.minimum(lens, allowed)
-    n_cand = lens.sum()
-
-    flat_starts = starts.reshape(-1)
-    flat_lens = lens.reshape(-1)
-    offs = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32),
-         jnp.cumsum(flat_lens).astype(jnp.int32)]
-    )
-    cand, rid, slot_valid, total = _expand_slots(
-        flat_starts, flat_lens, t_cap
-    )
-    slot_ovf = total > t_cap
-    Pp = starts.shape[1]
-    sid = rid // Pp
-    cand = jnp.where(slot_valid, cand, 0)
-
-    d2 = jnp.sum((dev.W8[cand] - seeds[sid]) ** 2, axis=-1)
-    match = slot_valid & (d2 < p.radius)
-    return sid, cand, d2, match, offs, n_cand, jnp.stack(
-        [seed_ovf, slot_ovf]
-    )
 
 
 @jax.jit

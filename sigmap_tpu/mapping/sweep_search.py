@@ -71,7 +71,7 @@ def seed_cell_bounds(seeds: jax.Array, radius: float, bd: int):
 
 
 @partial(jax.jit, static_argnames=("K", "TILE", "radius", "dim",
-                                  "block", "interpret"))
+                                  "block", "interpret", "mxu_precision"))
 def sweep_round(
     seeds: jax.Array,     # [Q, 8] f32 (invalid/padded seeds = SEED_PAD)
     cum: jax.Array,       # [R^4 + 1] i32 dense cumulative cell table
@@ -83,6 +83,7 @@ def sweep_round(
     dim: int = 6,
     block: int = BLOCK,
     interpret: bool = False,
+    mxu_precision: str = "highest",
 ):
     """Full radius search for one round's seeds, in ORIGINAL seed order.
 
@@ -156,7 +157,7 @@ def sweep_round(
     m_meta, m_d2, m_cnt = sweep_search(
         seeds_s, blockmeta, tiles, meta,
         radius=radius, K=K, TILE=TILE, dim=dim, block=block,
-        interpret=interpret,
+        interpret=interpret, mxu_precision=mxu_precision,
     )
     iperm = iperm[:Q0]
     return (

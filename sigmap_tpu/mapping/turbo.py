@@ -95,11 +95,18 @@ def build_seeds(feats, counts, offsets, S: int, step: int, dim: int,
     ).astype(jnp.int32)
     j = jnp.arange(S, dtype=jnp.int32)
     positions = (j + 1) * step                                    # [S]
-    gidx = jnp.clip(
-        positions[None, :, None] + jnp.arange(8)[None, None, :], 0, F - 1
-    )
-    wins = jnp.take_along_axis(
-        feats[:, :, None] * jnp.ones((1, 1, 8), jnp.float32), gidx, axis=1
+    # window element (s, c) = feats[(s+1)*step + c]: STATIC indices, so the
+    # gather is 8 strided slices (the take_along_axis form lowered to a slow
+    # row gather — ~100 ms/round at B=512)
+    need = (S + 1) * step + 8
+    fp = jnp.pad(feats, ((0, 0), (0, max(0, need - F)))) if need > F else feats
+    wins = jnp.stack(
+        [
+            jax.lax.slice(fp, (0, step + c), (B, step + c + step * S),
+                          (1, step))
+            for c in range(8)
+        ],
+        axis=2,
     ) * (jnp.arange(8) < dim)[None, None, :]                      # [B, S, 8]
     seed_ok = j[None, :] < n_seeds[:, None]                       # [B, S]
     pad_row = jnp.where(jnp.arange(8) < dim, np.float32(SEED_PAD), 0.0)
@@ -119,13 +126,16 @@ def anchors_qpos_major(m_meta, m_d2, wrote, qpos, B: int, S: int, K: int):
     kk = jnp.arange(K, dtype=jnp.int32)
     a_valid = kk[None, None, :] < wrote[:, :, None]               # [B, S, K]
     POS_MASK = (1 << META_POS_BITS) - 1
-    n_t = (m_meta & POS_MASK).transpose(1, 2, 0).reshape(S * K, B)
+    # [B, S, K] -> [S*K, B] as ONE 2-D transpose of [B, S*K] (identical
+    # element mapping to transpose(1, 2, 0); the 3-D form lowered to a
+    # ~100 ms gather at B=512)
+    n_t = (m_meta & POS_MASK).reshape(B, S * K).T
     n_g = jnp.where(a_valid, m_meta >> META_POS_BITS, -1)
-    n_g = n_g.transpose(1, 2, 0).reshape(S * K, B)
-    n_d = m_d2.transpose(1, 2, 0).reshape(S * K, B)
+    n_g = n_g.reshape(B, S * K).T
+    n_d = m_d2.reshape(B, S * K).T
     n_q = jnp.broadcast_to(
-        qpos.T[:, None, :], (S, K, B)
-    ).reshape(S * K, B)
+        qpos[:, :, None], (B, S, K)
+    ).reshape(B, S * K).T
     return n_t, n_q, n_d, n_g
 
 
@@ -192,7 +202,7 @@ def turbo_round_body(
     sum_f, sum_i, new_carry = chain_fused(
         a_t, a_q, a_d, a_g, c_score, c_stt, c_stq, c_n, c_sumd,
         radius=radius, dim=dim, ring=p.RING, cfg=chain_cfg,
-        interpret=interpret,
+        interpret=interpret, kb=K,
     )
     s1 = sum_f[0]
     s2_raw = sum_f[1]

@@ -52,9 +52,10 @@ def _kernel(
     o_t, o_q, o_g, o_score, o_stt, o_stq, o_n, o_sumd,  # out ring [RING, L]
     scores_ref,                    # scratch [A, L] f32
     stt_ref,                       # scratch [A, L] i32 chain start_t per row
-    *, A, CARRY, RING, radius, dim, cfg: ChainingConfig,
+    *, A, CARRY, RING, KB, radius, dim, cfg: ChainingConfig,
 ):
     kio = jax.lax.broadcasted_iota(jnp.int32, (RING, LANES), 0)
+    kio3 = jax.lax.broadcasted_iota(jnp.int32, (KB, RING, LANES), 1)
 
     def push(ring, cur, v, vals):
         slot = jax.lax.rem(cur, RING)
@@ -112,21 +113,29 @@ def _kernel(
         )
         return ring, cur, best
 
-    def dp_row(i, st):
+    def dp_block(blk, st):
+        # KB rows per step: one seed's K match slots share a qpos, so they
+        # cannot chain onto each other (the DP gates need qdiff > 0,
+        # spatial_index.cc:511) — all KB rows legally read the ring state
+        # from BEFORE the block.  Divergence from row-at-a-time: same-seed
+        # rows no longer evict older ring entries mid-seed, so the
+        # effective band is (slightly) wider — closer to the reference's
+        # 5000-anchor band, and what chain_fused_ref(kb=KB) specifies.
         ring, cur, best = st
         r_score, r_t, r_q, r_g, r_stt, r_stq, r_n, r_sumd = ring
-        t = a_t[i, :][None, :]
-        q = a_q[i, :][None, :]
-        d = a_d[i, :][None, :]
-        g = a_g[i, :][None, :]
+        i0 = CARRY + blk * KB
+        t = a_t[pl.ds(i0, KB), :]                          # [KB, L]
+        q = a_q[pl.ds(i0, KB), :]
+        d = a_d[pl.ds(i0, KB), :]
+        g = a_g[pl.ds(i0, KB), :]
         v = g >= 0
         coef = 1.0 - 0.2 * d / radius
         init = coef * dim
-        tdiff = t - r_t
-        qdiff = q - r_q
+        tdiff = t[:, None, :] - r_t[None, :, :]            # [KB, RING, L]
+        qdiff = q[:, None, :] - r_q[None, :, :]
         ok = (
-            (r_g == g) & (tdiff > 0) & (qdiff > 0)
-            & (r_t + cfg.max_target_gap_length >= t)
+            (r_g[None, :, :] == g[:, None, :]) & (tdiff > 0) & (qdiff > 0)
+            & (r_t[None, :, :] + cfg.max_target_gap_length >= t[:, None, :])
         )
         gap = jnp.abs(tdiff - qdiff)
         gap_scale = jnp.where(
@@ -138,19 +147,22 @@ def _kernel(
             & (gap_scale < cfg.max_gap_scale)
             & (gap_scale > cfg.min_gap_scale)
         )
-        match_dim = jnp.minimum(jnp.minimum(tdiff, qdiff), dim) * coef
-        cand = jnp.where(ok, r_score + match_dim, NEG)    # [RING, L]
-        bestc = jnp.max(cand, axis=0, keepdims=True)      # [1, L]
+        match_dim = jnp.minimum(
+            jnp.minimum(tdiff, qdiff), dim
+        ) * coef[:, None, :]
+        cand = jnp.where(ok, r_score[None, :, :] + match_dim, NEG)
+        bestc = jnp.max(cand, axis=1)                      # [KB, L]
         bi = jnp.min(
-            jnp.where(cand == bestc, kio, RING), axis=0, keepdims=True
+            jnp.where(cand == bestc[:, None, :], kio3, RING), axis=1
         )
-        sel = kio == bi
+        sel = kio3 == bi[:, None, :]                       # [KB, RING, L]
 
         def extract(arr, dt):
-            return jnp.sum(jnp.where(sel, arr, dt.type(0)), axis=0,
-                           keepdims=True)
+            return jnp.sum(
+                jnp.where(sel, arr[None, :, :], dt.type(0)), axis=1
+            )
 
-        chained = v & (bestc > init)
+        chained = v & (bestc > init)                       # [KB, L]
         s = jnp.where(v, jnp.where(chained, bestc, init), NEG)
         stt = jnp.where(chained, extract(r_stt, np.dtype(np.int32)), t)
         stq = jnp.where(chained, extract(r_stq, np.dtype(np.int32)), q)
@@ -158,19 +170,30 @@ def _kernel(
         sumd = jnp.where(
             chained, extract(r_sumd, np.dtype(np.float32)) + d, d
         )
-        scores_ref[i, :] = s[0, :]
-        stt_ref[i, :] = stt[0, :]
-        best = best_update(best, (s, g, t, q, stt, stq, n, sumd))
-        ring, cur = push(
-            ring, cur, v, (s, t, q, jnp.where(v, g, -2), stt, stq, n, sumd)
-        )
+        scores_ref[pl.ds(i0, KB), :] = s
+        stt_ref[pl.ds(i0, KB), :] = stt
+        gv = jnp.where(v, g, -2)
+        for k in range(KB):                 # cheap [1/RING, L] tail ops
+            row = (
+                s[k : k + 1], g[k : k + 1], t[k : k + 1], q[k : k + 1],
+                stt[k : k + 1], stq[k : k + 1], n[k : k + 1],
+                sumd[k : k + 1],
+            )
+            best = best_update(best, row)
+            ring, cur = push(
+                ring, cur, v[k : k + 1],
+                (row[0], row[2], row[3], gv[k : k + 1], row[4], row[5],
+                 row[6], row[7]),
+            )
         return ring, cur, best
 
     cur0 = jnp.zeros((1, LANES), jnp.int32)
     ring, cur, best = jax.lax.fori_loop(
         0, CARRY, carry_row, (ring0, cur0, best0)
     )
-    ring, cur, best = jax.lax.fori_loop(CARRY, A, dp_row, (ring, cur, best))
+    ring, cur, best = jax.lax.fori_loop(
+        0, (A - CARRY) // KB, dp_block, (ring, cur, best)
+    )
 
     s1, g1, te1, qe1, stt1, stq1, n1, sumd1 = best
 
@@ -181,18 +204,24 @@ def _kernel(
     # is what excludes sub/extension chains sharing chain 1's anchors, the
     # device stand-in for traceback's used-anchor score subtraction,
     # spatial_index.cc:165-220)
-    def s2_row(i, acc):
-        s = scores_ref[i, :][None, :]
-        g = a_g[i, :][None, :]
-        t = a_t[i, :][None, :]
-        stt = stt_ref[i, :][None, :]
-        same_ref = (g >> 1) == (g1 >> 1)
-        overlap = (jnp.maximum(stt, stt1) <= jnp.minimum(t, te1))
-        excl = same_ref & overlap
-        return jnp.maximum(acc, jnp.where(excl, NEG, s))
+    def s2_block(nrows):
+        def body(blk, acc):
+            i0 = blk * nrows
+            s = scores_ref[pl.ds(i0, nrows), :]
+            g = a_g[pl.ds(i0, nrows), :]
+            t = a_t[pl.ds(i0, nrows), :]
+            stt = stt_ref[pl.ds(i0, nrows), :]
+            same_ref = (g >> 1) == (g1 >> 1)
+            overlap = (jnp.maximum(stt, stt1) <= jnp.minimum(t, te1))
+            cand = jnp.where(same_ref & overlap, NEG, s)
+            return jnp.maximum(acc, jnp.max(cand, axis=0, keepdims=True))
 
+        return body
+
+    # A = CARRY + n*KB; scan in the largest block size that tiles A evenly
+    SB = KB if (CARRY % KB == 0 and A % KB == 0) else 1
     s2 = jax.lax.fori_loop(
-        0, A, s2_row, jnp.full((1, LANES), NEG, jnp.float32)
+        0, A // SB, s2_block(SB), jnp.full((1, LANES), NEG, jnp.float32)
     )
 
     sum_f[pl.ds(0, 1), :] = s1
@@ -221,7 +250,7 @@ def _kernel(
 
 @partial(
     jax.jit,
-    static_argnames=("radius", "dim", "ring", "cfg", "interpret"),
+    static_argnames=("radius", "dim", "ring", "cfg", "interpret", "kb"),
 )
 def chain_fused(
     a_t: jax.Array,      # [A, B] i32 (rows 0..CARRY-1 are carried anchors)
@@ -238,14 +267,22 @@ def chain_fused(
     ring: int = 64,
     cfg: ChainingConfig = ChainingConfig(),
     interpret: bool = False,
+    kb: int = 1,
 ):
     """Returns (sum_f [8, B] f32, sum_i [8, B] i32, carry-out tuple of 8
     [ring, B] arrays (t, q, g, score, start_t, start_q, n, sumd)).
 
     sum_f rows: 0 s1, 1 s2, 2 sumd1.  sum_i rows: 0 g1, 1 t_start, 2 t_end,
-    3 q_start, 4 q_end, 5 n1."""
+    3 q_start, 4 q_end, 5 n1.
+
+    kb: rows processed per DP step.  Anchor rows arrive as K-slot runs per
+    seed (same qpos), so kb = K is legal (same-seed rows can't chain onto
+    each other) and cuts the kernel's serial depth K-fold; rows within one
+    kb-block read the ring as of the block start (see dp_block note)."""
     A, B = a_t.shape
     CARRY = c_score.shape[0]
+    if (A - CARRY) % kb:
+        raise ValueError(f"anchor rows {A - CARRY} must tile by kb={kb}")
     L = LANES
     Bp = -(-B // L) * L
     pad = Bp - B
@@ -266,7 +303,7 @@ def chain_fused(
     rspec = pl.BlockSpec((ring, L), lambda g: (0, g),
                          memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
-        partial(_kernel, A=A, CARRY=CARRY, RING=ring, radius=radius,
+        partial(_kernel, A=A, CARRY=CARRY, RING=ring, KB=kb, radius=radius,
                 dim=dim, cfg=cfg),
         grid=(G,),
         in_specs=[ispec] * 4 + [cspec] * 5,
@@ -295,7 +332,7 @@ def chain_fused(
 
 
 def chain_fused_ref(a_t, a_q, a_d, a_g, c_score, c_stt, c_stq, c_n, c_sumd,
-                    radius, dim=6, ring=64, cfg=ChainingConfig()):
+                    radius, dim=6, ring=64, cfg=ChainingConfig(), kb=1):
     """Numpy executable twin of the kernel (per-read serial), for tests."""
     A, B = a_t.shape
     CARRY = c_score.shape[0]
@@ -321,7 +358,10 @@ def chain_fused_ref(a_t, a_q, a_d, a_g, c_score, c_stt, c_stq, c_n, c_sumd,
                 continue
             coef = 1.0 - 0.2 * float(d) / radius
             init = coef * dim
-            prev = [s for s in states if s is not None][-ring:]
+            # predecessors = ring state at this row's kb-block start (rows
+            # within one block share a seed/qpos and can't chain anyway)
+            bs = CARRY + ((i - CARRY) // kb) * kb
+            prev = [s for s in states[:bs] if s is not None][-ring:]
             best, besti = NEG, -1
             for s in prev:
                 ps, pt, pq, pg = s[0], s[1], s[2], s[3]

@@ -50,7 +50,7 @@ def _kernel(
     out_d2_ref,    # [BLOCK, K] f32
     out_cnt_ref,   # [BLOCK, 2] i32 (total matches, written slots)
     wbuf, mbuf, sem, msem,
-    *, radius, K, TILE, dim, block, n_offsets,
+    *, radius, K, TILE, dim, block, n_offsets, precision,
 ):
     g = pl.program_id(0)
     BLOCK = block
@@ -103,7 +103,7 @@ def _kernel(
         cross = jax.lax.dot_general(
             seeds_ref[...], wt, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=precision,
         )                                      # [BLOCK, TILE]
         acc = qsq + wt[dim, :][None, :] - 2.0 * cross
         match = acc < radius                   # strict: nanoflann parity
@@ -175,7 +175,7 @@ def _kernel(
 
 
 @partial(jax.jit, static_argnames=("K", "TILE", "radius", "dim",
-                                  "block", "interpret"))
+                                  "block", "interpret", "mxu_precision"))
 def sweep_search(
     seeds: jax.Array,      # [Q, 8] f32, Q multiple of BLOCK, cell-key SORTED
     blockmeta: jax.Array,  # [2*NO+1, Q//BLOCK] i32: rows 0..NO-1 first tile
@@ -188,6 +188,7 @@ def sweep_search(
     dim: int = 6,
     block: int = BLOCK,
     interpret: bool = False,
+    mxu_precision: str = "highest",
 ):
     """Returns (m_meta [Q, K] i32, m_d2 [Q, K] f32, m_cnt [Q, 2] i32).
 
@@ -221,9 +222,13 @@ def sweep_search(
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    prec = {
+        "highest": jax.lax.Precision.HIGHEST,
+        "default": jax.lax.Precision.DEFAULT,
+    }[mxu_precision]
     return pl.pallas_call(
         partial(_kernel, radius=radius, K=K, TILE=TILE, dim=dim,
-                block=block, n_offsets=n_offsets),
+                block=block, n_offsets=n_offsets, precision=prec),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((Q, K), jnp.int32),

@@ -5,7 +5,7 @@ across TPU hosts follows the standard JAX recipe:
 
 * `jax.distributed.initialize()` on every host (controller-less);
 * the global mesh spans all hosts' devices: ("data", "index") as in
-  parallel/pipeline.py — intra-slice collectives ride ICI, cross-host DCN;
+  parallel/turbo_shard.py — intra-slice collectives ride ICI, cross-host DCN;
 * read I/O stays host-local: each host loads its own shard of the signal
   directory (mirroring the per-thread buffers of sigmap.cc:217-241) and
   feeds its local data-parallel rows of the global batch;

@@ -61,7 +61,8 @@ def _random_case(rng, A, B, CARRY, density=0.7, n_groups=4, clustered=True):
 
 @pytest.mark.parametrize("ring", [16, 64])
 @pytest.mark.parametrize("seed", [0, 1])
-def test_chain_fused_matches_ref(seed, ring):
+@pytest.mark.parametrize("kb", [1, 8])
+def test_chain_fused_matches_ref(seed, ring, kb):
     rng = np.random.default_rng(seed)
     A, B, CARRY = 96, 5, 16
     args = _random_case(rng, A, B, CARRY)
@@ -70,10 +71,10 @@ def test_chain_fused_matches_ref(seed, ring):
 
     sum_f, sum_i, carry = chain_fused(
         *(jnp.asarray(a) for a in args), radius=RADIUS, dim=DIM,
-        ring=ring, cfg=cfg, interpret=True,
+        ring=ring, cfg=cfg, interpret=True, kb=kb,
     )
     rf, ri, rcarry = chain_fused_ref(
-        *args, radius=RADIUS, dim=DIM, ring=ring, cfg=cfg
+        *args, radius=RADIUS, dim=DIM, ring=ring, cfg=cfg, kb=kb
     )
     sum_f = np.asarray(sum_f)
     sum_i = np.asarray(sum_i)

@@ -5,16 +5,9 @@ import pytest
 
 import jax.numpy as jnp
 
-from sigmap_tpu import native
-from sigmap_tpu.config import EventDetectorConfig, IndexConfig
-from sigmap_tpu.index.build import build_index
-from sigmap_tpu.io.fasta import ReferenceSequence
-from sigmap_tpu.mapping.seeding import (
-    DeviceIndex, flatten_matches, pad_seeds, search_flat_kernel,
-)
+from sigmap_tpu.config import EventDetectorConfig
 from sigmap_tpu.signal.events import batch_tstat, detect_peaks_batch
 from sigmap_tpu.signal.events_pallas import detect_peaks_pallas
-from sigmap_tpu.synth import random_genome
 
 
 def test_peaks_pallas_matches_scan(rng):
@@ -32,61 +25,6 @@ def test_peaks_pallas_matches_scan(rng):
         detect_peaks_pallas(t1, t2, jnp.asarray(lengths), cfg, interpret=True)
     )
     np.testing.assert_array_equal(ref, pal)
-
-
-def test_range_search_kernel_matches_kdtree(pore6):
-    genome = random_genome(60_000, seed=7)
-    seqs = [ReferenceSequence(n, c) for n, c in genome]
-    idx = build_index(seqs, pore6, IndexConfig(), verbose=False)
-    dev = DeviceIndex.from_host(
-        idx, radius=0.08, seeds_per_tile=16, cap_per_seed=8192,
-        surv_per_tile=16384, matches_per_tile=8192,
-    )
-    rng = np.random.default_rng(3)
-    W = np.lib.stride_tricks.sliding_window_view(idx.values, idx.dim)
-    qi = rng.integers(0, idx.n_windows, 24)
-    noisy = (W[qi] + rng.normal(0, 0.1, (24, idx.dim))).astype(np.float32)
-    q8 = np.zeros((24, 8), np.float32)
-    q8[:, :6] = noisy
-    seeds, valid, _ = pad_seeds(q8, dev.params)
-    out = search_flat_kernel(
-        dev, jnp.asarray(seeds), jnp.asarray(valid), interpret=True
-    )
-    sids, widx, dist, _, ovf = flatten_matches(out, dev.params)
-    assert not ovf.any()
-    tree = native.KdTree(idx.values, idx.dim, 20)
-    for qid in range(24):
-        oi, od = tree.radius(noisy[qid], 0.08)
-        got = widx[sids == qid]
-        assert set(got.tolist()) == set(oi.tolist()), f"query {qid}"
-        ref = dict(zip(oi.tolist(), od.tolist()))
-        for w_, d_ in zip(got.tolist(), dist[sids == qid].tolist()):
-            assert abs(ref[w_] - d_) < 1e-5
-
-
-def test_chain_kernel_matches_scan(rng):
-    import jax.numpy as jnp
-
-    from sigmap_tpu.mapping.chain_device import chain_scores_banded
-    from sigmap_tpu.ops.chain_kernel import chain_scores_banded_pallas
-
-    B, A = 3, 400
-    t = np.sort(rng.integers(0, 5000, (B, A)).astype(np.int32), axis=1)
-    q = rng.integers(0, 800, (B, A)).astype(np.int32)
-    d = (rng.random((B, A)) * 0.08).astype(np.float32)
-    g = rng.integers(0, 2, (B, A)).astype(np.int32)
-    for b in range(B):
-        o = np.lexsort((q[b], t[b], g[b]))
-        t[b], q[b], d[b], g[b] = t[b][o], q[b][o], d[b][o], g[b][o]
-    v = rng.random((B, A)) < 0.9
-    s_ref, p_ref = chain_scores_banded(t, q, d, g, v, 0.08)
-    s_pal, p_pal = chain_scores_banded_pallas(
-        t, q, d, jnp.asarray(g), jnp.asarray(v), 0.08, interpret=True
-    )
-    np.testing.assert_allclose(
-        np.asarray(s_ref), np.asarray(s_pal), atol=1e-4
-    )
-    np.testing.assert_array_equal(np.asarray(p_ref), np.asarray(p_pal))
 
 
 def test_sdtw_kernel_matches_reference(rng):

@@ -64,29 +64,10 @@ def run_one(which):
         (((128, 4000)), f32), (((128, 4000)), f32), (((128,)), i32),
     )
 
-    from sigmap_tpu.ops.chain_kernel import chain_scores_banded_pallas
-    if want("chain_kernel"): ok &= check(
-        "chain_kernel",
-        lambda t, q, d, g, v: chain_scores_banded_pallas(
-            t, q, d, g, v, 0.08
-        ),
-        ((128, 8192), i32), ((128, 8192), i32), ((128, 8192), f32),
-        ((128, 8192), i32), ((128, 8192), b1),
-    )
-
     from sigmap_tpu.ops.sdtw_kernel import sdtw_pallas
     if want("sdtw_kernel"): ok &= check(
         "sdtw_kernel", lambda t, tl, q, ql: sdtw_pallas(t, tl, q, ql),
         ((128, 2048), f32), ((128,), i32), ((128, 512), f32), ((128,), i32),
-    )
-
-    from sigmap_tpu.ops.range_search_kernel import range_search_pallas
-    R = 81
-    if want("range_search_kernel"): ok &= check(
-        "range_search_kernel",
-        lambda s, l, q, w: range_search_pallas(s, l, q, w, 0.08, R=R),
-        ((6400, R), i32), ((6400, R), i32), ((6400, 8), f32),
-        ((8, 2_000_000), f32),
     )
 
     from sigmap_tpu.signal.events import batch_generate_events
@@ -96,45 +77,30 @@ def run_one(which):
         ((128, 4000), f32), ((128,), i32),
     )
 
-    from sigmap_tpu.mapping.seeding import (
-        DeviceIndex, SearchParams, search_flat_kernel,
-    )
-    # synthetic tiny device index with realistic shapes
-    nw = 1_000_000
-    dev = DeviceIndex(
-        W4=jax.ShapeDtypeStruct((nw, 4), f32),
-        W8=jax.ShapeDtypeStruct((nw, 8), f32),
-        WT=jax.ShapeDtypeStruct((8, nw + 2048), f32),
-        perm=jax.ShapeDtypeStruct((nw,), i32),
-        win_group=jax.ShapeDtypeStruct((nw,), i32),
-        win_pos=jax.ShapeDtypeStruct((nw,), i32),
-        cell_keys=jax.ShapeDtypeStruct((100_000,), i32),
-        cell_starts=jax.ShapeDtypeStruct((100_001,), i32),
-        htbl=jax.ShapeDtypeStruct((1 << 17, 4, 3), i32),
-        pos_sorted=jax.ShapeDtypeStruct((nw,), i32),
-        group_sorted=jax.ShapeDtypeStruct((nw,), i32),
-        n_windows=nw,
-        params=SearchParams(),
-        hash_bits=17,
-    )
-    if want("search_flat_kernel"): ok &= check(
-        "search_flat_kernel",
-        lambda d, s, v: search_flat_kernel(d, s, v),
-        (dev, None), ((6400, 8), f32), ((6400,), b1),
+    from sigmap_tpu.ops.sweep_kernel import sweep_search
+    TILE = 1024
+    NO = 8
+    if want("sweep_kernel"): ok &= check(
+        "sweep_kernel",
+        lambda bm, s, t, m: sweep_search(s, bm, t, m, radius=0.08, K=8,
+                                         TILE=TILE),
+        ((2 * NO + 1, 1024), i32), ((131072, 8), f32),
+        ((23000, 8, TILE), f32), ((23000, 8, TILE // 8), i32),
     )
 
-    from sigmap_tpu.mapping.fast_round import fast_round
-    B = 64
-    if want("fast_round"): ok &= check(
-        "fast_round(kernels)",
-        lambda d, c, l, ct, cq, cd, cg, o, r: fast_round(
-            d, c, l, ct, cq, cd, cg, o, r,
-            peaks_impl="pallas", chain_impl="pallas",
+    from sigmap_tpu.config import ChainingConfig
+    from sigmap_tpu.ops.chain_fused import chain_fused
+    A, CARRY, B = 256 + 2048, 256, 512
+    if want("chain_fused"): ok &= check(
+        "chain_fused",
+        lambda t, q, d, g, cs, c1, c2, c3, c4: chain_fused(
+            t, q, d, g, cs, c1, c2, c3, c4, radius=0.08, ring=CARRY, kb=8,
         ),
-        (dev, None), ((B, 4000), f32), ((B,), i32),
-        ((B, 512), i32), ((B, 512), i32), ((B, 512), f32), ((B, 512), i32),
-        ((B,), i32), ((B,), b1),
+        ((A, B), i32), ((A, B), i32), ((A, B), f32), ((A, B), i32),
+        ((CARRY, B), f32), ((CARRY, B), i32), ((CARRY, B), i32),
+        ((CARRY, B), i32), ((CARRY, B), f32),
     )
+
     print("ALL OK" if ok else "FAILURES PRESENT", flush=True)
     return 0 if ok else 1
 
@@ -143,9 +109,8 @@ if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else None
     if which is None:
         import subprocess
-        names = ["events_peaks_pallas", "chain_kernel", "sdtw_kernel",
-                 "range_search_kernel", "batch_generate_events",
-                 "search_flat_kernel", "fast_round"]
+        names = ["events_peaks_pallas", "sdtw_kernel",
+                 "batch_generate_events", "sweep_kernel", "chain_fused"]
         rc = 0
         for n in names:
             r = subprocess.run([sys.executable, __file__, n],

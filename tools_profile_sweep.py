@@ -8,7 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main(genome_mb=2.0, B=256, S=256, K=16, TILE=1024):
+def main(genome_mb=2.0, B=256, S=256, K=16, TILE=1024, radius_scale=1.0,
+         shift5=0.0, blocks="32,64,128"):
     from sigmap_tpu.config import SigmapConfig
     from sigmap_tpu.index.build import build_index
     from sigmap_tpu.index.sweep import SweepIndex
@@ -43,16 +44,25 @@ def main(genome_mb=2.0, B=256, S=256, K=16, TILE=1024):
     qs[:n_real] = W[picks] + np.concatenate(
         [rng.normal(0, 0.08, (n_real, idx.dim)).astype(np.float32),
          np.zeros((n_real, 8 - idx.dim), np.float32)], axis=1)
+    if shift5:
+        # shift an UNbucketed dim: identical cells/visits/dots, zero matches
+        # -> isolates extraction cost
+        qs[:n_real, idx.dim - 1] += shift5
 
     dq = jax.device_put(jnp.asarray(qs))
     dcum = jax.device_put(jnp.asarray(sw.cum))
     dtiles = jax.device_put(jnp.asarray(sw.tiles))
     dmeta = jax.device_put(jnp.asarray(sw.meta))
 
+    eff_radius = cfg.mapping.search_radius * radius_scale
+    import os
+
+    prec = os.environ.get("SWEEP_PREC", "highest")
+
     def run(block=32):
         return sweep_round(dq, dcum, dtiles, dmeta,
-                           radius=cfg.mapping.search_radius, K=K, TILE=TILE,
-                           block=block)
+                           radius=eff_radius, K=K, TILE=TILE,
+                           block=block, mxu_precision=prec)
 
     # --- prep-only timing + tile-visit census ---
     import itertools
@@ -60,23 +70,27 @@ def main(genome_mb=2.0, B=256, S=256, K=16, TILE=1024):
     import jax as _jax
     from sigmap_tpu.mapping import sweep_search as ss
 
+    bd = ss.bucket_dims(idx.dim)
+    NO = 1 << (bd - 1)
+
     @_p(_jax.jit, static_argnames=("radius", "TILE"))
     def prep_only(seeds, cum, radius, TILE):
         Q = seeds.shape[0]
         R = ss.SWEEP_RADIX
         w = jnp.float32(2.0 * np.sqrt(radius))
         delta = jnp.float32(np.sqrt(radius))
-        bd = 4
         qc = jnp.clip(jnp.floor((seeds[:, :bd] - delta) / w)
                       .astype(jnp.int32) + ss.SWEEP_OFFSET, 0, R - 1)
-        skey = ((qc[:, 0] * R + qc[:, 1]) * R + qc[:, 2]) * R + qc[:, 3]
+        skey = qc[:, 0]
+        for d in range(1, bd):
+            skey = skey * R + qc[:, d]
         _, perm = _jax.lax.sort((skey, jnp.arange(Q, dtype=jnp.int32)), num_keys=1)
         seeds_s = jnp.take(seeds, perm, axis=0)
         iperm = jnp.zeros((Q,), jnp.int32).at[perm].set(jnp.arange(Q, dtype=jnp.int32))
-        klo, khi = ss.seed_cell_bounds(seeds_s, radius, 4)
+        klo, khi = ss.seed_cell_bounds(seeds_s, radius, bd)
         G = Q // ss.BLOCK
-        bmin = klo.reshape(G, ss.BLOCK, 8).min(axis=1)
-        bmax = khi.reshape(G, ss.BLOCK, 8).max(axis=1)
+        bmin = klo.reshape(G, ss.BLOCK, NO).min(axis=1)
+        bmax = khi.reshape(G, ss.BLOCK, NO).max(axis=1)
         CS = cum.shape[0] - 1
         start = cum[jnp.clip(bmin, 0, CS)]
         end = cum[jnp.clip(bmax + 1, 0, CS)]
@@ -100,7 +114,7 @@ def main(genome_mb=2.0, B=256, S=256, K=16, TILE=1024):
         _ = np.asarray(tc)[:1]
     print(f"prep-only: {(time.perf_counter()-t0)/5*1000:.1f} ms", file=sys.stderr)
 
-    for block in (32, 64, 128):
+    for block in (int(x) for x in blocks.split(",")):
         t0 = time.perf_counter()
         out = run(block)
         host = tuple(np.asarray(x) for x in out)
@@ -124,5 +138,9 @@ if __name__ == "__main__":
     ap.add_argument("--seeds", type=int, default=256)
     ap.add_argument("--k", type=int, default=16)
     ap.add_argument("--tile", type=int, default=1024)
+    ap.add_argument("--radius-scale", type=float, default=1.0)
+    ap.add_argument("--shift5", type=float, default=0.0)
+    ap.add_argument("--blocks", type=str, default="32,64,128")
     a = ap.parse_args()
-    main(a.genome_mb, a.batch, a.seeds, a.k, a.tile)
+    main(a.genome_mb, a.batch, a.seeds, a.k, a.tile, a.radius_scale, a.shift5,
+         a.blocks)

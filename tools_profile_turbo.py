@@ -164,6 +164,12 @@ def _stages(tm, signals_d, n_full_d, B, NC, log):
         sr, seeds.reshape(B * p.S, 8), tm.cum, tm.tiles, tm.meta,
         label="sweep_round",
     )
+    cnt_h = np.asarray(cnt)
+    live = cnt_h[np.asarray(has_f).repeat(p.S) if has_f.ndim else cnt_h > -1]
+    qs = np.percentile(cnt_h, [50, 90, 99, 99.9, 100])
+    log(f"  match counts: p50={qs[0]:.0f} p90={qs[1]:.0f} p99={qs[2]:.0f} "
+        f"p99.9={qs[3]:.0f} max={qs[4]:.0f}  overflow(>K={p.K}): "
+        f"{(cnt_h > p.K).mean()*100:.2f}% of seeds")
     aq = jax.jit(functools.partial(
         anchors_qpos_major, B=B, S=p.S, K=p.K,
     ))
