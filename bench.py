@@ -96,22 +96,31 @@ def bench_tpu(cfg, idx, signals, batch, engine="turbo"):
     return records, len(signals) / dt, dt, warmup_s
 
 
-def bench_cpu_baseline(cfg, idx, signals, threads=4, cap_reads=32):
-    """Native CPU engine (exact semantics) with a thread pool."""
+def bench_cpu_baseline(cfg, idx, signals, threads=4, cap_reads=64, reps=3):
+    """Native CPU engine (exact semantics) with a thread pool.
+
+    Pinned protocol: a FIXED read subset, `reps` repetitions, median
+    reads/s reported with min/max spread — the per-round `vs_baseline`
+    headline previously swung ~2x on single 32-read runs."""
     from sigmap_tpu.oracle import Oracle
 
     oracle = Oracle(idx, cfg)
     subset = signals[:cap_reads]
     # warm the native lib
     oracle.streaming_read(subset[0].pa)
-    t0 = time.perf_counter()
-    with ThreadPoolExecutor(threads) as ex:
-        list(ex.map(lambda s: oracle.streaming_read(s.pa), subset))
-    dt = time.perf_counter() - t0
-    return len(subset) / dt, dt
+    rates = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(threads) as ex:
+            list(ex.map(lambda s: oracle.streaming_read(s.pa), subset))
+        dt = time.perf_counter() - t0
+        rates.append(len(subset) / dt)
+    rates.sort()
+    med = rates[len(rates) // 2]
+    return med, (rates[0], rates[-1]), len(subset)
 
 
-def bench_dtw(B=128, T=2048, Q=512, use_kernel=True):
+def bench_dtw(B=256, T=2048, Q=512, use_kernel=True):
     from sigmap_tpu.ops.sdtw import sdtw_batch
     from sigmap_tpu.ops.sdtw_kernel import sdtw_pallas
 
@@ -130,6 +139,41 @@ def bench_dtw(B=128, T=2048, Q=512, use_kernel=True):
         _ = tuple(np.asarray(o) for o in out)
     dt = (time.perf_counter() - t0) / reps
     return B * T * Q / dt
+
+
+def bench_vpu_elementwise():
+    """Empirical VPU f32 elementwise throughput (ops/s) on this chip.
+
+    A fused multiply-add chain over a VMEM-sized array: the same op class
+    the sDTW wavefront is made of (abs/min/add), so its throughput is the
+    speed-of-light reference for DTW cell updates."""
+    import jax
+    import jax.numpy as jnp
+
+    N = 4 << 20   # 16 MB f32
+    CHAIN = 64
+
+    @jax.jit
+    def f(x):
+        y = x
+        for _ in range(CHAIN):
+            y = y * np.float32(1.0000001) + np.float32(1e-7)
+        return y
+
+    x = jnp.ones((N,), jnp.float32)
+    np.asarray(f(x).ravel()[:1])
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        x = f(x)
+    np.asarray(x.ravel()[:1])
+    dt = (time.perf_counter() - t0) / reps
+    return N * CHAIN * 2 / dt   # 2 ops per FMA
+
+
+# VPU ops per DTW cell update in ops/sdtw_kernel.py's inner recurrence:
+# abs-diff (2), two mins (2), add (1), validity select (1) = 6.
+DTW_OPS_PER_CELL = 6
 
 
 def main():
@@ -153,9 +197,11 @@ def main():
         n_reads = args.reads or 16
         batch = args.batch or 16
     else:
-        genome_mb = args.genome_mb or 2.0
-        n_reads = args.reads or 64
-        batch = args.batch or 64
+        # canonical scale: the reference quickstart is yeast ~12 Mb
+        # (/root/reference/README.md:17-23)
+        genome_mb = args.genome_mb or 12.0
+        n_reads = args.reads or 512
+        batch = args.batch or 512
 
     cfg, idx, reads, signals, t_index = build_workload(
         genome_mb, n_reads, args.read_bases
@@ -168,18 +214,27 @@ def main():
     log(f"tpu: {tpu_rps:.2f} reads/s ({tpu_dt:.1f}s), "
         f"mapped {mapped}/{len(reads)}, correct {correct}/{max(1,mapped)}")
 
-    cpu_rps, cpu_dt = bench_cpu_baseline(
+    cpu_rps, cpu_spread, cpu_reads = bench_cpu_baseline(
         cfg, idx, signals, threads=args.baseline_threads,
-        cap_reads=min(32, n_reads),
+        cap_reads=min(64, n_reads),
     )
-    log(f"cpu baseline ({args.baseline_threads} threads): {cpu_rps:.2f} reads/s")
+    log(f"cpu baseline ({args.baseline_threads} threads, {cpu_reads} reads "
+        f"x3 reps): median {cpu_rps:.2f} reads/s "
+        f"(spread {cpu_spread[0]:.2f}-{cpu_spread[1]:.2f})")
 
     try:
         dtw_cups = bench_dtw()
-        log(f"dtw: {dtw_cups/1e6:.1f}M cell-updates/s")
+        vpu_ops = bench_vpu_elementwise()
+        dtw_ceiling = vpu_ops / DTW_OPS_PER_CELL
+        dtw_pct = 100.0 * dtw_cups / dtw_ceiling
+        log(f"dtw: {dtw_cups/1e6:.1f}M cell-updates/s "
+            f"({dtw_pct:.1f}% of the {dtw_ceiling/1e9:.1f}G/s VPU "
+            f"elementwise ceiling at {DTW_OPS_PER_CELL} ops/cell)")
     except Exception as e:  # noqa: BLE001
         log(f"dtw bench failed: {e}")
         dtw_cups = 0.0
+        dtw_ceiling = 0.0
+        dtw_pct = 0.0
 
     print(json.dumps({
         "metric": "reads_per_s_streaming",
@@ -192,9 +247,15 @@ def main():
             "read_batch": batch,
             "mapped": mapped,
             "correct": correct,
-            "cpu_baseline_reads_per_s": round(cpu_rps, 3),
+            "cpu_baseline_reads_per_s_median": round(cpu_rps, 3),
+            "cpu_baseline_spread": [round(cpu_spread[0], 3),
+                                    round(cpu_spread[1], 3)],
+            "cpu_baseline_reads": cpu_reads,
+            "cpu_baseline_reps": 3,
             "baseline_threads": args.baseline_threads,
             "dtw_cell_updates_per_s": round(dtw_cups, 0),
+            "dtw_pct_of_vpu_ceiling": round(dtw_pct, 1),
+            "dtw_vpu_ceiling_cups": round(dtw_ceiling, 0),
             "index_build_s": round(t_index, 1),
             "engine": args.engine,
             "warmup_s": round(warmup_s, 1),

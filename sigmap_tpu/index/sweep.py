@@ -4,31 +4,43 @@ Round 1's radius-search engines answered each seed query with row gathers
 (hash probe -> candidate slots -> W8[cand]); measured on v5e, XLA row
 gathers run at ~2.4 GB/s (~300x below HBM) and big cumsums/sorts are
 similarly latency-bound, capping the whole mapper at ~3.6 reads/s.  The
-turbo engine inverts the loop: index windows are sorted by a coarse 4-dim
-grid cell key and stored PRE-TILED so the search kernel
-(ops/sweep_kernel.py) STREAMS contiguous window tiles at full HBM
-bandwidth past blocks of key-sorted seeds, evaluating exact f32 squared
-distances densely on the VPU (strict d^2 < radius: nanoflann parity,
-nanoflann.hpp:249; same match set as the reference's k-d tree radius
-search, spatial_index.cc:366).
+turbo engine inverts the loop: index windows are sorted by a coarse grid
+cell key and stored PRE-TILED so the search kernel (ops/sweep_kernel.py)
+STREAMS contiguous window tiles at full HBM bandwidth past blocks of
+key-sorted seeds, evaluating exact f32 squared distances densely on the
+VPU (strict d^2 < radius: nanoflann parity, nanoflann.hpp:249; same match
+set as the reference's k-d tree radius search, spatial_index.cc:366).
 
-Layout choices (why these constants):
-* cell width = 2*sqrt(radius): the L2 ball spans <= 2 cells per dim, so a
-  seed's candidate superset is 2^3 = 8 offset probes over the leading 3
-  dims with the 4th dim's span merged into each probe's contiguous range;
-* 4 bucketed dims balance probe count against candidate volume; the cell
-  key space (RADIX^4 ~ 105k) stays small enough that a DENSE cumulative
-  table replaces hash probing entirely (2 array lookups per seed-block
-  probe instead of per-seed hash chains);
+Grid geometry (v2, measured on the 12 Mb synthetic workload):
+
+* **PCA rotation.** Raw window dims are highly correlated (consecutive
+  z-scored levels; eigenvalue spectrum ~[3.4, 1.6, 0.5, 0.2, ...]), so
+  axis-aligned buckets discriminate poorly: a radius-0.08 ball's bounding
+  box over the leading 4 raw dims contained ~535k candidate windows/seed.
+  Windows are therefore stored in PCA-ROTATED coordinates
+  w' = R^T (w - mu) (R orthonormal, from the window covariance): rotation
+  is an isometry, so d^2(q', w') == d^2(q, w) exactly in real arithmetic
+  (f32 rounding adds a ~1e-5-relative boundary band, same class as any
+  accumulation-order difference vs nanoflann), while the leading rotated
+  dims carry most of the variance — the same 4-dim bucket box shrinks to
+  ~80k candidates/seed (6.7x).
+* **span-3 cells** (cell width = sqrt(radius)): the L2 ball straddles
+  <= 3 cells per dim; probes enumerate 3^(bd-1) offsets over the leading
+  bd-1 dims with the last bucketed dim's span folded into each offset's
+  contiguous range.  Finer cells beat span-2 (2*sqrt(r)) 2.8x on
+  candidate volume in the rotated space.
+* **mixed radix**: each bucketed dim gets its own radix sized to the
+  rotated data's extent, keeping the dense cumulative cell table small
+  (~1M cells at 12 Mb) so 2 array lookups replace hash probing.
 * windows are tiled [T, 8, TILE] f32 ("transposed" per tile) so one tile
-  is ONE contiguous DMA, plus [T, TILE] i32 packed metadata
+  is ONE contiguous DMA, plus [T, 8, TILE//8] i32 packed metadata
   (group << 25 | target_position) decoded without any gather.
 
 Reference parity: the window SET (masking sigmap.cc:19-185, dedup
 spatial_index.cc:43-46, straddling windows sigmap_adaptor.h:89-97) is
-identical to SignalIndex; only the storage order differs, and radius
-matches are order-insensitive (the reference searches with sorted=false,
-spatial_index.cc:323-324).
+identical to SignalIndex; only the storage order/basis differs, and
+radius matches are order-insensitive (the reference searches with
+sorted=false, spatial_index.cc:323-324).
 """
 
 from __future__ import annotations
@@ -39,37 +51,43 @@ import numpy as np
 
 from .build import SignalIndex
 
-# Sweep grid: cell width 2*sqrt(radius); z-scored signals live in roughly
-# [-5, +5], so 18 cells of width 0.566 (offset 9) cover the range with
-# outliers clipped into edge cells (exactness preserved: windows and probe
-# bounds clip identically, and the final strict d^2 < r test is exact).
-SWEEP_RADIX = 18
-SWEEP_OFFSET = 9
-# Bucket 4 dims.  Measured on v5e (2 Mb index, B=256 rounds): bucketing a
-# 5th dim doubles the probe offsets (2^(bd-1)) and, because each block's
-# per-offset DMA union is set by the block's SORTED-SEED key span (which
-# does not shrink with more dims), total tile visits GROW ~20% — bd=4 is
-# the sweet spot.  bd = min(SWEEP_DIMS, dim) is the single consistency
-# rule; sweep_search derives the same bd from dim.
+# Number of bucketed (leading rotated) dims.  Measured: more dims sharpen
+# per-seed boxes but widen per-block probe unions; 4 is the sweet spot for
+# 6-dim indexes at span 3.
 SWEEP_DIMS = 4
+# Cells per dim a radius ball may straddle (span); cell width is
+# 2*sqrt(radius)/(span-1).  span=3 -> width sqrt(radius).
+SWEEP_SPAN = 3
+
+PAD_COORD = 1.0e30  # padding coordinate: d^2 is huge for every seed
+META_POS_BITS = 25  # packed meta: (group << 25) | target_position
 
 
 def bucket_dims(dim: int) -> int:
     """Number of bucketed key dims for an index of dimension `dim`."""
     return min(SWEEP_DIMS, dim)
-PAD_COORD = 1.0e30  # padding |w|^2 value: can never be within radius
-META_POS_BITS = 25  # packed meta: (group << 25) | target_position
 
 
 @dataclass
 class SweepIndex:
-    """Pre-tiled, cell-sorted window store + dense cumulative cell table."""
+    """Pre-tiled, cell-sorted window store + dense cumulative cell table.
 
-    tiles: np.ndarray      # [T, 8, TILE] f32 window coords (pad: PAD_COORD)
+    All window coordinates (tiles rows 0..dim-1) are in the PCA-rotated,
+    mean-centered basis; queries must be rotated with `rot`/`mu` before
+    key computation and distance evaluation (sweep_search does this).
+    """
+
+    tiles: np.ndarray      # [T, 8, TILE] f32 ROTATED coords (pad: PAD_COORD)
     meta: np.ndarray       # [T, 8, TILE//8] i32 (group << 25) | tpos;
                            # window w of tile t sits at (t, w // (TILE//8),
                            # w % (TILE//8))
-    cum: np.ndarray        # [RADIX^4 + 1] i32 cumulative windows per cell
+    cum: np.ndarray        # [prod(radixes)+1] i32 cumulative windows/cell
+    rot: np.ndarray        # [dim, dim] f32 orthonormal rotation (columns =
+                           # principal dirs, descending variance)
+    mu: np.ndarray         # [dim] f32 window mean (rotation center)
+    origin: np.ndarray     # [bd] f32 grid origin in rotated coords
+    radixes: tuple         # per-dim cell counts (len bd)
+    span: int
     n_windows: int
     tile: int
     dim: int
@@ -80,10 +98,14 @@ class SweepIndex:
     def n_tiles(self) -> int:
         return self.tiles.shape[0]
 
+    @property
+    def bd(self) -> int:
+        return len(self.radixes)
+
     @staticmethod
-    def build(idx: SignalIndex, radius: float, tile: int = 1024
-              ) -> "SweepIndex":
-        """Re-sort a SignalIndex's windows by the sweep grid and tile them.
+    def build(idx: SignalIndex, radius: float, tile: int = 1024,
+              span: int = SWEEP_SPAN) -> "SweepIndex":
+        """Re-sort a SignalIndex's windows by the rotated sweep grid.
 
         tile must be a multiple of 1024 on real TPU (meta tiles are
         [8, tile//8] i32 and Mosaic needs the minor dim 128-aligned);
@@ -92,8 +114,10 @@ class SweepIndex:
         dim = idx.dim
         if dim < 2:
             raise ValueError("sweep layout needs index dim >= 2")
+        if dim > 8:
+            raise ValueError("sweep layout packs windows into 8 f32 rows")
         bd = bucket_dims(dim)
-        w = 2.0 * float(np.sqrt(radius))
+        w = 2.0 * float(np.sqrt(radius)) / (span - 1)
         if idx.win_group is None:
             idx.derive_window_metadata()
         if len(idx.ref_names) * 2 > (1 << (31 - META_POS_BITS)):
@@ -103,38 +127,50 @@ class SweepIndex:
                 "target positions overflow packed meta "
                 f"(>= 2^{META_POS_BITS}); shard the index first"
             )
-        # per-position coords over the leading bd dims, shifted slices
-        coords = np.clip(
-            np.floor(idx.values / w).astype(np.int32) + SWEEP_OFFSET,
-            0, SWEEP_RADIX - 1,
+        # windows as [nw, dim] strided view over the flat value array
+        Wv = np.lib.stride_tricks.sliding_window_view(
+            idx.values, dim
+        )[:nw].astype(np.float64)
+        # PCA basis from a sample (covariance is 6x6; eigh exact)
+        samp = Wv[:: max(1, nw // 500_000)]
+        mu = samp.mean(axis=0) if len(samp) else np.zeros(dim)
+        if len(samp) > dim:
+            cov = np.cov((samp - mu).T)
+            evals, evecs = np.linalg.eigh(np.atleast_2d(cov))
+            order = np.argsort(evals)[::-1]
+            rot = evecs[:, order]
+        else:
+            rot = np.eye(dim)
+        WR = ((Wv - mu) @ rot).astype(np.float32)          # [nw, dim]
+        origin = (
+            WR[:, :bd].min(axis=0) if nw else np.zeros(bd, np.float32)
         )
-        key = np.zeros(nw, np.int32)
-        for d in range(bd):
-            key *= SWEEP_RADIX
-            key += coords[d : d + nw]
+        radixes = tuple(
+            int(x) for x in (
+                np.ceil(
+                    ((WR[:, :bd].max(axis=0) - origin) / w)
+                ).astype(np.int64) + 2
+                if nw else np.full(bd, 2, np.int64)
+            )
+        )
+        keyspace = int(np.prod(radixes))
+        if keyspace > (1 << 27):
+            raise ValueError(f"sweep cell table too large ({keyspace})")
+        coords = np.clip(
+            np.floor((WR[:, :bd] - origin) / w).astype(np.int64),
+            0, np.asarray(radixes, np.int64)[None, :] - 1,
+        )
+        key = coords[:, 0].copy() if nw else np.zeros(0, np.int64)
+        for d in range(1, bd):
+            key = key * radixes[d] + coords[:, d]
         perm = np.argsort(key, kind="stable")
-        # dense cumulative table over the full key space
-        counts = np.bincount(key, minlength=SWEEP_RADIX**bd)
-        cum = np.zeros(SWEEP_RADIX**bd + 1, np.int32)
+        counts = np.bincount(key, minlength=keyspace)
+        cum = np.zeros(keyspace + 1, np.int32)
         np.cumsum(counts, out=cum[1:])
-        if dim > 6:
-            raise ValueError("sweep layout needs a free row for |w|^2")
         T = max(1, -(-nw // tile))
-        tiles = np.full((T * tile, 8), 0.0, np.float32)
-        wsq = np.zeros(nw, np.float64)
-        for d in range(dim):
-            col = idx.values[perm + d]
-            tiles[:nw, d] = col
-            wsq += col.astype(np.float64) ** 2
-        # row `dim` holds |w|^2 so the kernel can form d^2 from one MXU
-        # cross-term: d^2 = |q|^2 + |w|^2 - 2 q.w (seeds are zero in rows
-        # >= dim, so the dot over all 8 rows never touches this row).
-        # Padding windows: zero coords + |w|^2 = PAD_COORD, so d^2 =
-        # |q|^2 + PAD_COORD > radius for every seed (the expansion form
-        # would cancel catastrophically with huge pad coordinates).
-        tiles[:nw, dim] = wsq.astype(np.float32)
-        tiles[nw:, :] = 0.0
-        tiles[nw:, dim] = PAD_COORD
+        tiles = np.zeros((T * tile, 8), np.float32)
+        tiles[:nw, :dim] = WR[perm]
+        tiles[nw:, 0] = PAD_COORD
         meta = np.zeros(T * tile, np.int32)
         meta[:nw] = (
             (idx.win_group[perm].astype(np.int32) << META_POS_BITS)
@@ -147,6 +183,12 @@ class SweepIndex:
                 tiles.reshape(T, tile, 8).transpose(0, 2, 1)
             ),
             meta=meta.reshape(T, 8, tile // 8),
-            cum=cum, n_windows=nw, tile=tile, dim=dim,
+            cum=cum,
+            rot=rot.astype(np.float32),
+            mu=mu.astype(np.float32),
+            origin=origin.astype(np.float32),
+            radixes=radixes,
+            span=span,
+            n_windows=nw, tile=tile, dim=dim,
             cell_width=w, radius=float(radius),
         )

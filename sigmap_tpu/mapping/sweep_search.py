@@ -1,20 +1,20 @@
 """XLA-side preparation for the sweep search kernel.
 
-Per round: sort seeds by cell key (block locality), compute per
-(seed-block, offset) union tile ranges from the dense cumulative cell
-table, run ops/sweep_kernel.sweep_search, and map results back to the
-original seed order.  Replaces the round-1 hash-probe/range-walk engines
-(mapping/seeding.py) on the turbo path.
+Per round: rotate seeds into the index's PCA basis (index/sweep.py), sort
+them by lo-corner cell key (block locality), compute per (seed-block,
+offset) union tile ranges from the dense cumulative cell table, run
+ops/sweep_kernel.sweep_search, and map results back to the original seed
+order.
 
 Semantics: identical match set to the reference k-d radius search
 (strict d^2 < radius, spatial_index.cc:366 + nanoflann.hpp:249), with
 per-seed output truncated to K slots (the reference caps at 5000/seed,
 spatial_index.cc:290); exact totals are returned so truncation is
-observable.  One caveat: d^2 is evaluated via the expansion
-|q|^2 + |w|^2 - 2 q.w in f32 (MXU-friendly), while nanoflann accumulates
-(q-w)^2 directly — pairs within ~1e-4 of the radius boundary can flip
-between the two roundings, so the match SET is exact only up to that
-boundary band (tests use a 5e-4 distance tolerance accordingly).
+observable.  One caveat: d^2 is accumulated as sum((q'-w')^2) in f32 in
+the ROTATED basis, while nanoflann accumulates (q-w)^2 in the raw basis —
+rotation is an exact isometry, but f32 rounding means pairs within ~1e-5
+(relative) of the radius boundary can flip between the two (tests use a
+boundary-band tolerance accordingly).
 """
 
 from __future__ import annotations
@@ -26,44 +26,45 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..index.sweep import SWEEP_OFFSET, SWEEP_RADIX, bucket_dims
 from ..ops.sweep_kernel import BLOCK, sweep_search
 
 BIG = np.int32(2**31 - 1)
-# Padded/invalid seeds: dims < index.dim set to SEED_PAD (|q|^2 dominates
-# every d^2 so they never match, and they sort to the trailing edge cell);
-# dims >= index.dim MUST stay zero (row `dim` of the tiles is |w|^2).
+# Padded/invalid seeds: dims < index.dim set to SEED_PAD; after rotation
+# they land far outside the grid (clipped to the trailing edge cell) and
+# their d^2 dominates every radius test, so they never match.
 SEED_PAD = 2.0e9
 
 
-def seed_cell_bounds(seeds: jax.Array, radius: float, bd: int):
-    """[Q, 8] seeds -> per-offset (key_lo, key_hi) [Q, 2^(bd-1)] i32 each.
+def seed_cell_bounds(qr: jax.Array, radius: float, w: float, origin,
+                     radixes: tuple, span: int):
+    """[Q, bd] ROTATED seed coords -> per-offset (key_lo, key_hi), each
+    [Q, span^(bd-1)] i32.
 
     Offsets enumerate the leading bd-1 bucketed dims (the L2 ball spans
-    <= 2 cells per dim); the last bucketed dim's cell span is folded into
-    each offset's contiguous key range."""
+    <= span cells per dim); the last bucketed dim's cell span is folded
+    into each offset's contiguous key range."""
+    bd = len(radixes)
     delta = np.float32(np.sqrt(radius))
-    w = np.float32(2.0 * np.sqrt(radius))
-    R = SWEEP_RADIX
-    qb = seeds[:, :bd]
+    wf = np.float32(w)
+    rx = [np.int32(r) for r in radixes]
     lo = jnp.clip(
-        jnp.floor((qb - delta) / w).astype(jnp.int32) + SWEEP_OFFSET,
-        0, R - 1,
+        jnp.floor((qr - delta - origin) / wf).astype(jnp.int32),
+        0, jnp.asarray(radixes, jnp.int32)[None, :] - 1,
     )
     hi = jnp.clip(
-        jnp.floor((qb + delta) / w).astype(jnp.int32) + SWEEP_OFFSET,
-        0, R - 1,
+        jnp.floor((qr + delta - origin) / wf).astype(jnp.int32),
+        0, jnp.asarray(radixes, jnp.int32)[None, :] - 1,
     )
     klos, khis = [], []
-    for offs in itertools.product((0, 1), repeat=bd - 1):
+    for offs in itertools.product(range(span), repeat=bd - 1):
         cs = [lo[:, d] + offs[d] for d in range(bd - 1)]
         ok = cs[0] <= hi[:, 0]
         for d in range(1, bd - 1):
             ok &= cs[d] <= hi[:, d]
         key_lo = cs[0]
         for d in range(1, bd - 1):
-            key_lo = key_lo * R + cs[d]
-        key_lo = key_lo * R + lo[:, bd - 1]
+            key_lo = key_lo * rx[d] + cs[d]
+        key_lo = key_lo * rx[bd - 1] + lo[:, bd - 1]
         key_hi = key_lo + (hi[:, bd - 1] - lo[:, bd - 1])
         klos.append(jnp.where(ok, key_lo, BIG))
         khis.append(jnp.where(ok, key_hi, -1))
@@ -71,19 +72,25 @@ def seed_cell_bounds(seeds: jax.Array, radius: float, bd: int):
 
 
 @partial(jax.jit, static_argnames=("K", "TILE", "radius", "dim",
-                                  "block", "interpret", "mxu_precision"))
+                                  "block", "radixes", "span", "cell_width",
+                                  "interpret"))
 def sweep_round(
-    seeds: jax.Array,     # [Q, 8] f32 (invalid/padded seeds = SEED_PAD)
-    cum: jax.Array,       # [R^4 + 1] i32 dense cumulative cell table
-    tiles: jax.Array,     # [T, 8, TILE] f32
+    seeds: jax.Array,     # [Q, 8] f32 RAW coords (invalid seeds = SEED_PAD)
+    cum: jax.Array,       # [prod(radixes)+1] i32 cumulative cell table
+    tiles: jax.Array,     # [T, 8, TILE] f32 (rotated coords)
     meta: jax.Array,      # [T, 8, TILE//8] i32
+    rot: jax.Array,       # [dim, dim] f32 PCA rotation
+    mu: jax.Array,        # [dim] f32 rotation center
+    origin: jax.Array,    # [bd] f32 grid origin (rotated coords)
     radius: float,
     K: int = 16,
     TILE: int = 1024,
     dim: int = 6,
     block: int = BLOCK,
+    radixes: tuple = (),
+    span: int = 3,
+    cell_width: float = 0.2828427,
     interpret: bool = False,
-    mxu_precision: str = "highest",
 ):
     """Full radius search for one round's seeds, in ORIGINAL seed order.
 
@@ -97,33 +104,37 @@ def sweep_round(
             [seeds, jnp.broadcast_to(prow, (pad, 8))], axis=0
         )
     Q = seeds.shape[0]
-    R = SWEEP_RADIX
-    bd = bucket_dims(dim)
-    NO = 1 << (bd - 1)  # probe offsets
-    w = np.float32(2.0 * np.sqrt(radius))
+    bd = len(radixes)
+    NO = span ** (bd - 1)  # probe offsets
+    w = np.float32(cell_width)
     delta = np.float32(np.sqrt(radius))
+    # rotate into the index basis; rows >= dim stay zero (kernel pads)
+    qr_d = (seeds[:, :dim] - mu[None, :]) @ rot          # [Q, dim]
+    qr8 = jnp.concatenate(
+        [qr_d, jnp.zeros((Q, 8 - dim), jnp.float32)], axis=1
+    )
+    qb = qr_d[:, :bd]
     # Sort seeds by the LO-CORNER cell key (cell of q - delta), not the
     # nominal cell: every probe offset is then a CONSTANT key shift across
     # a block, so block unions stay as tight as the block's own key span.
-    # (Sorting by nominal key mixes seeds whose lo differs by +-1 in a
-    # leading dim, and one such straddle widens the union by a whole radix
-    # plane — measured 30x more tile visits.)
+    rxs = jnp.asarray(radixes, jnp.int32)
     qc = jnp.clip(
-        jnp.floor((seeds[:, :bd] - delta) / w).astype(jnp.int32)
-        + SWEEP_OFFSET,
-        0, R - 1,
+        jnp.floor((qb - delta - origin) / w).astype(jnp.int32),
+        0, rxs[None, :] - 1,
     )
     skey = qc[:, 0]
     for d in range(1, bd):
-        skey = skey * R + qc[:, d]
+        skey = skey * np.int32(radixes[d]) + qc[:, d]
     _, perm = jax.lax.sort(
         (skey, jnp.arange(Q, dtype=jnp.int32)), num_keys=1
     )
-    seeds_s = jnp.take(seeds, perm, axis=0)
+    qr_s = jnp.take(qr8, perm, axis=0)
     iperm = jnp.zeros((Q,), jnp.int32).at[perm].set(
         jnp.arange(Q, dtype=jnp.int32)
     )
-    klo, khi = seed_cell_bounds(seeds_s, radius, bd)  # [Q, NO]
+    klo, khi = seed_cell_bounds(
+        jnp.take(qb, perm, axis=0), radius, w, origin, radixes, span
+    )  # [Q, NO]
     G = Q // block
     bmin = klo.reshape(G, block, NO).min(axis=1)      # [G, NO]
     bmax = khi.reshape(G, block, NO).max(axis=1)
@@ -154,11 +165,26 @@ def sweep_round(
     blockmeta = jnp.concatenate(
         [m_start.astype(jnp.int32), cums], axis=1
     ).T  # [2*NO+1, G]
-    m_meta, m_d2, m_cnt = sweep_search(
-        seeds_s, blockmeta, tiles, meta,
-        radius=radius, K=K, TILE=TILE, dim=dim, block=block,
-        interpret=interpret, mxu_precision=mxu_precision,
-    )
+    # the per-block table rides SMEM scalar prefetch (1 MB): chunk the
+    # launch so each call's table stays small; chunk boundaries align with
+    # blocks, so results are identical to one big launch
+    MAXG = 2048
+    parts = []
+    for g0 in range(0, G, MAXG):
+        gs = min(MAXG, G - g0)
+        parts.append(sweep_search(
+            jax.lax.slice_in_dim(qr_s, g0 * block, (g0 + gs) * block),
+            jax.lax.slice_in_dim(blockmeta, g0, g0 + gs, axis=1),
+            tiles, meta,
+            radius=radius, K=K, TILE=TILE, dim=dim, block=block,
+            interpret=interpret,
+        ))
+    if len(parts) == 1:
+        m_meta, m_d2, m_cnt = parts[0]
+    else:
+        m_meta = jnp.concatenate([o[0] for o in parts], axis=0)
+        m_d2 = jnp.concatenate([o[1] for o in parts], axis=0)
+        m_cnt = jnp.concatenate([o[2] for o in parts], axis=0)
     iperm = iperm[:Q0]
     return (
         jnp.take(m_meta, iperm, axis=0),

@@ -140,33 +140,33 @@ def anchors_qpos_major(m_meta, m_d2, wrote, qpos, B: int, S: int, K: int):
 
 
 def turbo_round_body(
-    tiles, meta, cum, signals, n_full, chunk_idx, done, stopped, offsets,
-    carry, rb_f, rb_i,
+    tiles, meta, cum, rot, mu, origin, feats_all, counts_all, r, n_full,
+    chunk_idx, done, stopped, offsets, carry, rb_f, rb_i,
     p: TurboParams, step: int, radius: float, dim: int,
-    ed_cfg: EventDetectorConfig, chain_cfg: ChainingConfig,
+    geom: tuple,
+    chain_cfg: ChainingConfig,
     m: MappingConfig, interpret: bool = False, merge_matches=None,
 ):
     """One streaming round (traceable body shared by the single-chip jit
     and the shard_map multi-chip path).
 
-    signals is THIS round's [B, chunk] slice (all active reads share one
-    chunk index; rows of inactive reads are ignored via the active mask).
+    feats_all/counts_all are the batch's PRECOMPUTED per-chunk feature
+    signals ([B, NC, F] / [B, NC], from batch_features); r is this round's
+    shared chunk index (all active reads advance in lockstep, so round r
+    consumes chunk slice r; rows of inactive reads are ignored via the
+    active mask).
 
     merge_matches: optional callable (m_meta [Q,K], m_d2, cnt, wrote) ->
     same shapes, merging per-index-shard results across a mesh axis."""
-    B, Cs = signals.shape
+    B = feats_all.shape[0]
     S, K = p.S, p.K
 
     active = ~done & (chunk_idx < n_full) & (chunk_idx < m.max_num_chunks)
 
-    # ---- 1. events over this round's chunk slice ------------------------
-    ch = signals
-    clen = jnp.where(active, Cs, 0).astype(jnp.int32)
-    feats, _stdv, counts, _ = batch_generate_events(
-        ch, clen, cfg=ed_cfg, max_events=p.max_events,
-        max_features=p.max_features, compress_delta=m.compress_delta,
-        peaks_impl=p.peaks_impl,
-    )
+    # ---- 1. this round's precomputed chunk features ----------------------
+    feats = jax.lax.dynamic_index_in_dim(feats_all, r, 1, keepdims=False)
+    counts_r = jax.lax.dynamic_index_in_dim(counts_all, r, 1, keepdims=False)
+    counts = jnp.where(active, counts_r, 0)
     has_f = counts > m.min_feature_length
 
     # ---- 2. seed windows ------------------------------------------------
@@ -175,9 +175,11 @@ def turbo_round_body(
     )
 
     # ---- 3. sweep radius search ------------------------------------------
+    radixes, span, cell_width = geom
     m_meta, m_d2, cnt, wrote = sweep_round(
-        seeds.reshape(B * S, 8), cum, tiles, meta,
+        seeds.reshape(B * S, 8), cum, tiles, meta, rot, mu, origin,
         radius=radius, K=K, TILE=p.TILE, dim=dim, block=p.block,
+        radixes=radixes, span=span, cell_width=cell_width,
         interpret=interpret,
     )
     if merge_matches is not None:
@@ -253,14 +255,19 @@ def turbo_round_body(
 
 @partial(
     jax.jit,
-    static_argnames=("p", "step", "radius", "dim", "ed_cfg", "chain_cfg",
+    static_argnames=("p", "step", "radius", "dim", "geom", "chain_cfg",
                      "m", "interpret"),
 )
 def turbo_round(
-    tiles: jax.Array,      # [T, 8, TILE] f32 sweep index
+    tiles: jax.Array,      # [T, 8, TILE] f32 sweep index (rotated coords)
     meta: jax.Array,       # [T, 8, TILE//8] i32
-    cum: jax.Array,        # [R^bd+1] i32
-    signals: jax.Array,    # [B, Cs] f32 this round's chunk slice
+    cum: jax.Array,        # [prod(radixes)+1] i32
+    rot: jax.Array,        # [dim, dim] f32 PCA rotation (index/sweep.py)
+    mu: jax.Array,         # [dim] f32 rotation center
+    origin: jax.Array,     # [bd] f32 grid origin
+    feats_all: jax.Array,  # [B, NC, F] f32 precomputed chunk features
+    counts_all: jax.Array,  # [B, NC] i32 feature counts per chunk
+    r: jax.Array,          # scalar i32: this round's shared chunk index
     n_full: jax.Array,     # [B] i32 full chunks per read
     chunk_idx: jax.Array,  # [B] i32
     done: jax.Array,       # [B] bool
@@ -274,25 +281,110 @@ def turbo_round(
     step: int,
     radius: float,
     dim: int,
-    ed_cfg: EventDetectorConfig,
+    geom: tuple,           # (radixes, span, cell_width) — static
     chain_cfg: ChainingConfig,
     m: MappingConfig,
     interpret: bool = False,
 ):
     return turbo_round_body(
-        tiles, meta, cum, signals, n_full, chunk_idx, done, stopped,
-        offsets, carry, rb_f, rb_i, p, step, radius, dim, ed_cfg,
-        chain_cfg, m, interpret,
+        tiles, meta, cum, rot, mu, origin, feats_all, counts_all, r,
+        n_full, chunk_idx, done, stopped, offsets, carry, rb_f, rb_i,
+        p, step, radius, dim, geom, chain_cfg, m, interpret,
     )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("p", "ed_cfg", "compress_delta"),
+)
+def batch_features(
+    q: jax.Array,       # [B, NC, Cs] uint16 quantized pA samples
+    qoff: jax.Array,    # [B] f32 per-read dequant offset
+    qscale: jax.Array,  # [B] f32 per-read dequant scale
+    n_full: jax.Array,  # [B] i32 full chunks per read
+    p: TurboParams,
+    ed_cfg: EventDetectorConfig,
+    compress_delta: float,
+):
+    """Event-detect + compress ALL of a batch's chunks in one call.
+
+    pa = (q + qoff) * qscale reproduces io.signals.dac_to_pa bit-for-bit
+    when the read came from DAC samples (quantize_batch recovers the raw
+    integers); rounds then just slice the [B, NC, F] feature tensor.
+    Chunks past a read's n_full get clen 0 (they produce counts 0).
+    Event work for chunks after a read early-stops is wasted by design:
+    it runs once per batch, fully parallel over B*NC rows, and is far
+    cheaper than the per-round sweep it used to serialize with."""
+    B, NC, Cs = q.shape
+    pa = (
+        q.astype(jnp.float32) + qoff[:, None, None]
+    ) * qscale[:, None, None]
+    chunk_ok = jnp.arange(NC)[None, :] < n_full[:, None]
+    clen = jnp.where(chunk_ok, Cs, 0).astype(jnp.int32).reshape(B * NC)
+    feats, _stdv, counts, _ = batch_generate_events(
+        pa.reshape(B * NC, Cs), clen, cfg=ed_cfg, max_events=p.max_events,
+        max_features=p.max_features, compress_delta=compress_delta,
+        peaks_impl=p.peaks_impl,
+    )
+    F = feats.shape[-1]
+    return (
+        feats.reshape(B, NC, F),
+        counts.reshape(B, NC).astype(jnp.int32),
+    )
+
+
+def quantize_batch(batch, B, NC, Cs, max_chunks):
+    """Host-side transport quantization: pA f32 -> uint16 + per-read affine.
+
+    When the read's pA stream is DAC-derived (pa = (raw + offset) * scale,
+    io/signals.py dac_to_pa), the inverse recovers the exact raw integers
+    and device dequantization is bit-identical to the host pA values.
+    Otherwise a per-read min/max affine is used (error <= (max-min)/65000,
+    ~65x below one DAC step)."""
+    n_full = np.zeros(B, np.int32)
+    q = np.zeros((B, NC, Cs), np.uint16)
+    qoff = np.zeros(B, np.float32)
+    qscale = np.ones(B, np.float32)
+    for i, s in enumerate(batch):
+        n_full[i] = min(s.length // Cs, max_chunks)
+        L = min(s.length, NC * Cs)
+        pa = s.pa[:L].astype(np.float32)
+        ku = None
+        scale = np.float32(s.range / s.digitisation) if s.digitisation else 0
+        off = np.float32(s.offset)
+        if scale > 0 and L:
+            k = np.rint(pa / scale - off)
+            if 0 <= k.min(initial=0) and k.max(initial=0) <= 65535:
+                cand = k.astype(np.uint16)
+                if np.array_equal(
+                    (cand.astype(np.float32) + off) * scale, pa
+                ):
+                    ku = cand
+        if ku is None and L:
+            lo = np.float32(pa.min())
+            hi = np.float32(pa.max())
+            scale = np.float32(max(hi - lo, 1e-6) / 65000.0)
+            off = np.float32(lo / scale)
+            ku = np.clip(np.rint(pa / scale - off), 0, 65535).astype(
+                np.uint16
+            )
+        if L:
+            q[i].reshape(-1)[:L] = ku
+        qoff[i] = off
+        qscale[i] = scale
+    return q, qoff, qscale, n_full
 
 
 class TurboMapper:
     """Streaming mapper driving turbo_round over a device-resident batch.
 
-    API mirrors Mapper.streaming_map_fast (mapping/driver.py) but keeps
-    the whole wavefront on device: reads are processed in batches of
-    runtime.read_batch; each batch's signals upload once and rounds run
-    until every read in the batch is done.
+    Reads are processed in batches of runtime.read_batch.  Per batch:
+    signals are transport-quantized to uint16 (quantize_batch), uploaded
+    once, and event-detected for ALL chunks in one device call
+    (batch_features) — all on a prefetch thread that overlaps the previous
+    batch's rounds.  Rounds then advance every active read one chunk in
+    lockstep, consuming precomputed feature slices; the only per-round
+    host traffic is the packed [B+2] done/overflow download.
     """
 
     def __init__(self, index: SignalIndex, config: SigmapConfig = SigmapConfig(),
@@ -311,49 +403,84 @@ class TurboMapper:
         self.tiles = jax.device_put(sw.tiles)
         self.meta = jax.device_put(sw.meta)
         self.cum = jax.device_put(sw.cum)
+        self.rot = jax.device_put(sw.rot)
+        self.mu = jax.device_put(sw.mu)
+        self.origin = jax.device_put(sw.origin)
+        self.geom = (sw.radixes, sw.span, sw.cell_width)
         self.interpret = jax.default_backend() == "cpu"
         from concurrent.futures import ThreadPoolExecutor
 
         self._uploader = ThreadPoolExecutor(1)
 
+    def close(self):
+        self._uploader.shutdown(wait=False)
+
+    def __del__(self):  # noqa: D105 - release the uploader thread
+        try:
+            self.close()
+        except Exception:  # noqa: BLE001 - interpreter teardown
+            pass
+
     def streaming_map(self, signals: list[ReadSignal]) -> list[PAFRecord]:
         records: dict[int, PAFRecord] = {}
         B = self.cfg.runtime.read_batch
-        for base in range(0, len(signals), B):
-            self._map_batch(signals[base : base + B], base, records)
+        bases = list(range(0, len(signals), B))
+        if not bases:
+            return []
+        # batch N+1's quantization + upload + event precompute ride the
+        # uploader thread while batch N's rounds run (cross-batch overlap)
+        fut = self._uploader.submit(
+            self._prepare_batch, signals[bases[0] : bases[0] + B]
+        )
+        for bi, base in enumerate(bases):
+            prep = fut.result()
+            if bi + 1 < len(bases):
+                nxt = bases[bi + 1]
+                fut = self._uploader.submit(
+                    self._prepare_batch, signals[nxt : nxt + B]
+                )
+            self._map_batch(signals[base : base + B], base, records, prep)
         return [records[i] for i in range(len(signals)) if i in records]
 
     # ------------------------------------------------------------------ --
 
-    def _map_batch(self, batch: list[ReadSignal], base: int, records: dict):
+    def _prepare_batch(self, batch: list[ReadSignal]):
+        """Quantize + upload + event-precompute one batch (thread-safe)."""
         m = self.cfg.mapping
-        p = self.p
-        Cs = m.chunk_size
-        # pad the slot count to the configured batch so every batch reuses
-        # one compiled round (padding slots have n_full = 0 and never map)
         B = self.cfg.runtime.read_batch
-        n_full = np.zeros(B, np.int32)
-        for i, s in enumerate(batch):
-            n_full[i] = min(s.length // Cs, m.max_num_chunks)
-        NC = max(1, int(n_full.max(initial=0)))
-        sig = np.zeros((B, NC, Cs), np.float32)
-        for i, s in enumerate(batch):
-            L = min(s.length, NC * Cs)
-            flat = sig[i].reshape(-1)
-            flat[:L] = s.pa[:L]
+        Cs = m.chunk_size
+        nc_raw = max(
+            1,
+            max(
+                (min(s.length // Cs, m.max_num_chunks) for s in batch),
+                default=1,
+            ),
+        )
+        # bucket NC so every batch shape hits a cached compile
+        NC = min(1 << (nc_raw - 1).bit_length(), m.max_num_chunks)
+        q, qoff, qscale, n_full = quantize_batch(
+            batch, B, NC, Cs, m.max_num_chunks
+        )
+        qd, qoff_d, qscale_d, n_full_d = self._place_batch(
+            q, qoff, qscale, n_full
+        )
+        feats_all, counts_all = batch_features(
+            qd, qoff_d, qscale_d, n_full_d,
+            p=self.p, ed_cfg=self.cfg.event,
+            compress_delta=m.compress_delta,
+        )
+        return feats_all, counts_all, n_full_d, n_full, NC
+
+    def _map_batch(self, batch: list[ReadSignal], base: int, records: dict,
+                   prep=None):
+        m = self.cfg.mapping
+        B = self.cfg.runtime.read_batch
+        if prep is None:
+            prep = self._prepare_batch(batch)
+        feats_all, counts_all, n_full_d, n_full, NC = prep
         state = self._place_state(self._init_state(B))
         (chunk_idx, done, stopped, offsets, carry, rb_f, rb_i) = state
-        n_full_d = jax.device_put(n_full, getattr(self, "_sh_d", None))
 
-        # per-round chunk slices, prefetched one round ahead: all active
-        # reads share the round's chunk index, so slice r is everything
-        # round r needs — upload rides a thread and overlaps compute
-        def put_slice(r):
-            return self._place_signals(
-                np.ascontiguousarray(sig[:, min(r, NC - 1)])
-            )
-
-        fut = self._uploader.submit(put_slice, 0)
         mt = np.zeros(B)
         prev_done = n_full == 0
         done_h = prev_done.copy()
@@ -361,11 +488,9 @@ class TurboMapper:
         ovf_warned = False
         while not done_h.all():
             t0 = time.perf_counter()
-            signals_d = fut.result()
-            fut = self._uploader.submit(put_slice, rounds + 1)
             out = self._run_round(
-                signals_d, n_full_d, chunk_idx, done, stopped, offsets,
-                carry, rb_f, rb_i,
+                feats_all, counts_all, np.int32(rounds), n_full_d,
+                chunk_idx, done, stopped, offsets, carry, rb_f, rb_i,
             )
             (chunk_idx, done, stopped, offsets, carry, rb_f, rb_i,
              _counts, _ovf, host_sig) = out
@@ -404,20 +529,25 @@ class TurboMapper:
 
     # --- placement/execution hooks (overridden by TurboShardMapper) -----
 
-    def _place_signals(self, sig: np.ndarray):
-        return jax.device_put(sig)
+    def _place_batch(self, q, qoff, qscale, n_full):
+        sh = getattr(self, "_sh_d", None)
+        return (
+            jax.device_put(q, sh), jax.device_put(qoff, sh),
+            jax.device_put(qscale, sh), jax.device_put(n_full, sh),
+        )
 
     def _place_state(self, state):
         return state
 
-    def _run_round(self, signals_d, n_full_d, chunk_idx, done, stopped,
-                   offsets, carry, rb_f, rb_i):
+    def _run_round(self, feats_all, counts_all, r, n_full_d, chunk_idx,
+                   done, stopped, offsets, carry, rb_f, rb_i):
         m = self.cfg.mapping
         return turbo_round(
-            self.tiles, self.meta, self.cum, signals_d, n_full_d,
-            chunk_idx, done, stopped, offsets, carry, rb_f, rb_i,
+            self.tiles, self.meta, self.cum, self.rot, self.mu,
+            self.origin, feats_all, counts_all, r,
+            n_full_d, chunk_idx, done, stopped, offsets, carry, rb_f, rb_i,
             p=self.p, step=m.step_size, radius=m.search_radius,
-            dim=self.index.dim, ed_cfg=self.cfg.event,
+            dim=self.index.dim, geom=self.geom,
             chain_cfg=self.cfg.chain, m=m, interpret=self.interpret,
         )
 

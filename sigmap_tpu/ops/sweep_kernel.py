@@ -13,17 +13,18 @@ walks are latency-bound; the sweep instead:
   candidate ranges as whole pre-tiled [8, TILE] window tiles — large
   contiguous DMAs, double-buffered across the flattened (offset, tile)
   sequence;
-* evaluates exact f32 squared distances for all BLOCK seeds x TILE
-  windows densely on the MXU/VPU (strict d^2 < radius — nanoflann.hpp:249
-  parity; the union slop only adds evaluations that fail the test, never
-  changes the match set);
+* evaluates exact f32 squared distances (direct (w-q)^2 accumulation,
+  nanoflann's own formula) for all BLOCK seeds x TILE windows densely on
+  the VPU (strict d^2 < radius — nanoflann.hpp:249 parity; the union slop
+  only adds evaluations that fail the test, never changes the match set);
 * extracts matches with an iterated min-extract while-loop that drains
   every match in the tile (up to K per-seed output slots), with exact
   total-match counts so K-truncation is observable.
 
-Work model: pair-evaluations ~= 8 offsets x 32 block seeds x N windows,
-independent of the number of seeds — so bigger read batches amortize the
-sweep for free.
+Work model: pair-evaluations are set by the per-block union volume
+(roughly invariant in seeds-per-cell density), so bigger read batches
+amortize the sweep's fixed costs; the per-pair cost is a handful of VPU
+fused multiply-adds.
 """
 
 from __future__ import annotations
@@ -50,27 +51,28 @@ def _kernel(
     out_d2_ref,    # [BLOCK, K] f32
     out_cnt_ref,   # [BLOCK, 2] i32 (total matches, written slots)
     wbuf, mbuf, sem, msem,
-    *, radius, K, TILE, dim, block, n_offsets, precision,
+    *, radius, K, TILE, dim, block, n_offsets,
 ):
     g = pl.program_id(0)
     BLOCK = block
     col = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, TILE), 1)
     kcol = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, K), 1)
-    total = bm_ref[2 * n_offsets, g]
+    # hoist this program's SMEM table row into register scalars (the
+    # decode below runs 2x per DMA step)
+    starts = [bm_ref[oo, g] for oo in range(n_offsets)]
+    cums = [bm_ref[n_offsets + oo, g] for oo in range(n_offsets + 1)]
+    total = cums[n_offsets]
     sq = seeds_ref[...]
-    qsq = jnp.sum(sq * sq, axis=1, keepdims=True)  # [BLOCK, 1]
 
     out_meta_ref[...] = jnp.zeros((BLOCK, K), jnp.int32)
     out_d2_ref[...] = jnp.zeros((BLOCK, K), jnp.float32)
 
     def tile_of(s):
         """Flat step -> global tile index (offset decoded via cumsum)."""
-        t = bm_ref[0, g] + s
+        t = starts[0] + s
         for oo in range(1, n_offsets):
-            take = bm_ref[n_offsets + oo, g] <= s
-            t = jnp.where(
-                take, bm_ref[oo, g] + (s - bm_ref[n_offsets + oo, g]), t
-            )
+            take = cums[oo] <= s
+            t = jnp.where(take, starts[oo] + (s - cums[oo]), t)
         return t
 
     def dma(slot, s):
@@ -98,14 +100,15 @@ def _kernel(
             c.wait()
         wt = wbuf[slot]                        # [8, TILE]
         mtile = mbuf[slot]                     # [8, TILE//8] i32
-        # d^2 = |q|^2 + |w|^2 - 2 q.w: the cross-term rides the MXU
-        # (seeds are zero in rows >= dim; row `dim` of the tile is |w|^2)
-        cross = jax.lax.dot_general(
-            seeds_ref[...], wt, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )                                      # [BLOCK, TILE]
-        acc = qsq + wt[dim, :][None, :] - 2.0 * cross
+        # d^2 = sum_d (w_d - q_d)^2 accumulated DIRECTLY on the VPU in f32
+        # (nanoflann's own formula, nanoflann.hpp:375-398) — the earlier
+        # MXU expansion |q|^2+|w|^2-2q.w needed a 6-pass f32 matmul to get
+        # comparable rounding and measured ~3x slower than these dim
+        # fused multiply-adds at production volumes
+        acc = jnp.zeros((BLOCK, TILE), jnp.float32)
+        for d in range(dim):
+            diff = wt[d, :][None, :] - sq[:, d][:, None]
+            acc += diff * diff
         match = acc < radius                   # strict: nanoflann parity
         nrow = jnp.sum(match.astype(jnp.int32), axis=1, keepdims=True)
         cnt = cnt + nrow
@@ -114,11 +117,11 @@ def _kernel(
         mcol = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, rowsz), 1)
 
         def extract(ec):
-            # carry (masked distances, write cursor): carrying an i1 mask
-            # through cond/fori trips a Mosaic layout bug, so extracted
-            # lanes are retired by setting their distance to INF instead
-            d2m, c_wrote = ec
-            mn = jnp.min(d2m, axis=1, keepdims=True)          # [BLOCK, 1]
+            # carry (masked distances, write cursor, current row minima):
+            # carrying an i1 mask through cond/fori trips a Mosaic layout
+            # bug, so extracted lanes are retired by setting their distance
+            # to INF; mn rides the carry so cond+body share one reduction
+            d2m, c_wrote, mn = ec
             has = mn < radius
             pos = jnp.min(
                 jnp.where(d2m == mn, col, TILE), axis=1, keepdims=True
@@ -145,20 +148,31 @@ def _kernel(
             out_d2_ref[...] = jnp.where(
                 hit & put, mn, out_d2_ref[...]
             )
-            return (jnp.where(sel, INF, d2m), c_wrote + put.astype(jnp.int32))
+            d2m = jnp.where(sel, INF, d2m)
+            return (
+                d2m, c_wrote + put.astype(jnp.int32),
+                jnp.min(d2m, axis=1, keepdims=True),
+            )
 
         def more(ec):
             # drain until every seed's tile matches are extracted or its K
             # output slots are full (full seeds keep retiring lanes, so the
             # loop always terminates within TILE iterations)
-            d2m, c_wrote = ec
-            mn = jnp.min(d2m, axis=1, keepdims=True)
+            _d2m, c_wrote, mn = ec
             return jnp.any((mn < radius) & (c_wrote < K))
+
+        def drain(mw):
+            d2m, c_wrote = mw
+            mn0 = jnp.min(d2m, axis=1, keepdims=True)
+            d2m, c_wrote, _ = jax.lax.while_loop(
+                more, extract, (d2m, c_wrote, mn0)
+            )
+            return d2m, c_wrote
 
         # extraction only when the tile has any match (common tiles don't)
         _, wrote2 = jax.lax.cond(
             jnp.sum(nrow) > 0,
-            lambda mw: jax.lax.while_loop(more, extract, mw),
+            drain,
             lambda mw: mw,
             (jnp.where(match, acc, INF), wrote),
         )
@@ -175,7 +189,7 @@ def _kernel(
 
 
 @partial(jax.jit, static_argnames=("K", "TILE", "radius", "dim",
-                                  "block", "interpret", "mxu_precision"))
+                                  "block", "interpret"))
 def sweep_search(
     seeds: jax.Array,      # [Q, 8] f32, Q multiple of BLOCK, cell-key SORTED
     blockmeta: jax.Array,  # [2*NO+1, Q//BLOCK] i32: rows 0..NO-1 first tile
@@ -188,7 +202,6 @@ def sweep_search(
     dim: int = 6,
     block: int = BLOCK,
     interpret: bool = False,
-    mxu_precision: str = "highest",
 ):
     """Returns (m_meta [Q, K] i32, m_d2 [Q, K] f32, m_cnt [Q, 2] i32).
 
@@ -222,13 +235,9 @@ def sweep_search(
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    prec = {
-        "highest": jax.lax.Precision.HIGHEST,
-        "default": jax.lax.Precision.DEFAULT,
-    }[mxu_precision]
     return pl.pallas_call(
         partial(_kernel, radius=radius, K=K, TILE=TILE, dim=dim,
-                block=block, n_offsets=n_offsets, precision=prec),
+                block=block, n_offsets=n_offsets),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((Q, K), jnp.int32),

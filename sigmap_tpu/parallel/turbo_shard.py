@@ -53,7 +53,11 @@ class ShardedSweep:
 
     tiles: np.ndarray   # [I, Tl, 8, TILE]
     meta: np.ndarray    # [I, Tl, 8, TILE//8]
-    cum: np.ndarray     # [I, R^4 + 1] rebased per shard
+    cum: np.ndarray     # [I, prod(radixes)+1] rebased per shard
+    rot: np.ndarray     # [dim, dim] (replicated)
+    mu: np.ndarray      # [dim]
+    origin: np.ndarray  # [bd]
+    geom: tuple         # (radixes, span, cell_width) — static
     n_windows: int
     tile: int
 
@@ -68,7 +72,7 @@ class ShardedSweep:
         meta = sw.meta
         if pad:
             pt = np.zeros((pad, 8, tile), np.float32)
-            pt[:, sw.dim, :] = PAD_COORD
+            pt[:, 0, :] = PAD_COORD
             tiles = np.concatenate([tiles, pt], axis=0)
             meta = np.concatenate(
                 [meta, np.zeros((pad, 8, tile // 8), np.int32)], axis=0
@@ -81,12 +85,14 @@ class ShardedSweep:
         return ShardedSweep(
             tiles=tiles.reshape(n_shards, Tl, 8, tile),
             meta=meta.reshape(n_shards, Tl, 8, tile // 8),
-            cum=cum, n_windows=sw.n_windows, tile=tile,
+            cum=cum, rot=sw.rot, mu=sw.mu, origin=sw.origin,
+            geom=(sw.radixes, sw.span, sw.cell_width),
+            n_windows=sw.n_windows, tile=tile,
         )
 
 
 def make_sharded_round(mesh: Mesh, p: TurboParams, step, radius, dim,
-                       ed_cfg, chain_cfg, m, interpret=False):
+                       geom, chain_cfg, m, interpret=False):
     """Build the jitted multi-chip round: shard_map over ("data", "index")."""
     K = p.K
     n_index = mesh.shape["index"]
@@ -107,12 +113,14 @@ def make_sharded_round(mesh: Mesh, p: TurboParams, step, radius, dim,
         cnt_m = jax.lax.psum(cnt, "index")
         return m_metam, m_d2m, cnt_m, wrote_m
 
-    def shard_fn(tiles_l, meta_l, cum_l, signals_l, n_full_l, ci_l, done_l,
+    def shard_fn(tiles_l, meta_l, cum_l, rot_l, mu_l, org_l, feats_l,
+                 counts_l, r, n_full_l, ci_l, done_l,
                  st_l, off_l, carry_l, rbf_l, rbi_l):
         return turbo_round_body(
-            tiles_l[0], meta_l[0], cum_l[0], signals_l, n_full_l, ci_l,
+            tiles_l[0], meta_l[0], cum_l[0], rot_l, mu_l, org_l, feats_l,
+            counts_l, r, n_full_l, ci_l,
             done_l, st_l, off_l, carry_l, rbf_l, rbi_l,
-            p, step, radius, dim, ed_cfg, chain_cfg, m, interpret,
+            p, step, radius, dim, geom, chain_cfg, m, interpret,
             merge_matches=merge_matches,
         )
 
@@ -120,7 +128,9 @@ def make_sharded_round(mesh: Mesh, p: TurboParams, step, radius, dim,
     nd = P(None, "data")
     in_specs = (
         P("index"), P("index"), P("index"),               # tiles, meta, cum
-        d, d, d, d, d, d,                                 # signals..offsets
+        P(), P(), P(),                                    # rot, mu, origin
+        d, d, P(),                                        # feats, counts, r
+        d, d, d, d, d,                                    # n_full..offsets
         (nd,) * 8,                                        # carry
         nd, nd,                                           # rb_f, rb_i
     )
@@ -167,9 +177,14 @@ class TurboShardMapper(TurboMapper):
             index, config.mapping.search_radius, self.n_index, tile=params.TILE
         )
         sh_i = NamedSharding(mesh, P("index"))
+        sh_r = NamedSharding(mesh, P())
         self.tiles = jax.device_put(ss.tiles, sh_i)
         self.meta = jax.device_put(ss.meta, sh_i)
         self.cum = jax.device_put(ss.cum, sh_i)
+        self.rot = jax.device_put(ss.rot, sh_r)
+        self.mu = jax.device_put(ss.mu, sh_r)
+        self.origin = jax.device_put(ss.origin, sh_r)
+        self.geom = ss.geom
         self.interpret = jax.default_backend() == "cpu"
         from concurrent.futures import ThreadPoolExecutor
 
@@ -177,16 +192,20 @@ class TurboShardMapper(TurboMapper):
         m = config.mapping
         self._round = make_sharded_round(
             mesh, params, m.step_size, m.search_radius, index.dim,
-            config.event, config.chain, m, interpret=self.interpret,
+            ss.geom, config.chain, m, interpret=self.interpret,
         )
         self._sh_d = NamedSharding(mesh, P("data"))
-        self._sh_d2 = NamedSharding(mesh, P("data", None))
+        self._sh_r = sh_r
         self._sh_nd = NamedSharding(mesh, P(None, "data"))
 
     # --- hooks used by TurboMapper._map_batch ---------------------------
 
-    def _place_signals(self, sig: np.ndarray):
-        return jax.device_put(sig, self._sh_d2)
+    def _place_batch(self, q, qoff, qscale, n_full):
+        sh = self._sh_d
+        return (
+            jax.device_put(q, sh), jax.device_put(qoff, sh),
+            jax.device_put(qscale, sh), jax.device_put(n_full, sh),
+        )
 
     def _place_state(self, state):
         chunk_idx, done, stopped, offsets, carry, rb_f, rb_i = state
@@ -198,10 +217,11 @@ class TurboShardMapper(TurboMapper):
             put(rb_f, self._sh_nd), put(rb_i, self._sh_nd),
         )
 
-    def _run_round(self, signals_d, n_full_d, chunk_idx, done, stopped,
-                   offsets, carry, rb_f, rb_i):
+    def _run_round(self, feats_all, counts_all, r, n_full_d, chunk_idx,
+                   done, stopped, offsets, carry, rb_f, rb_i):
         return self._round(
-            self.tiles, self.meta, self.cum, signals_d, n_full_d,
+            self.tiles, self.meta, self.cum, self.rot, self.mu,
+            self.origin, feats_all, counts_all, jnp.asarray(r), n_full_d,
             chunk_idx, done, stopped, offsets, carry, rb_f, rb_i,
         )
 

@@ -1,4 +1,12 @@
-"""Sweep search: exact match-set parity with brute force / the oracle."""
+"""Sweep search: exact match-set parity with brute force / the oracle.
+
+The sweep stores windows in PCA-ROTATED coordinates (index/sweep.py) and
+accumulates d^2 directly in f32; rotation is an exact isometry, but f32
+rounding means pairs within a tiny band of the radius boundary can flip
+vs a raw-space oracle.  Assertions are therefore band-tolerant: matches
+strictly inside radius - EPS must all be found, nothing outside
+radius + EPS may be reported, and boundary pairs may go either way.
+"""
 
 import numpy as np
 import pytest
@@ -8,8 +16,10 @@ from sigmap_tpu.index.build import build_index
 from sigmap_tpu.index.sweep import SweepIndex
 from sigmap_tpu.io.fasta import ReferenceSequence
 from sigmap_tpu.io.pore_model import make_synthetic_pore_model
-from sigmap_tpu.mapping.sweep_search import SEED_PAD, brute_matches, sweep_round
+from sigmap_tpu.mapping.sweep_search import SEED_PAD, sweep_round
 from sigmap_tpu.synth import random_genome
+
+EPS = 1e-4
 
 
 @pytest.fixture(scope="module")
@@ -23,16 +33,27 @@ def small_index():
     return cfg, idx
 
 
+def _raw_windows_by_meta(idx):
+    """meta value -> raw-space window coords, from the SignalIndex."""
+    if idx.win_group is None:
+        idx.derive_window_metadata()
+    from sigmap_tpu.index.sweep import META_POS_BITS
+
+    W = np.lib.stride_tricks.sliding_window_view(idx.values, idx.dim)
+    metas = (
+        (idx.win_group.astype(np.int64) << META_POS_BITS)
+        | idx.win_pos.astype(np.int64)
+    )
+    return W[: idx.n_windows], metas[: idx.n_windows]
+
+
 def test_sweep_matches_brute(small_index):
     import jax.numpy as jnp
 
     cfg, idx = small_index
     radius = cfg.mapping.search_radius
     sw = SweepIndex.build(idx, radius, tile=256)
-    # windows in sweep order (row idx.dim holds |w|^2 -> slice to dim)
-    W = np.ascontiguousarray(
-        sw.tiles.transpose(0, 2, 1).reshape(-1, 8)
-    )[: sw.n_windows, : idx.dim]
+    W, metas = _raw_windows_by_meta(idx)
     rng = np.random.default_rng(0)
     # queries: noisy copies of real windows (some matches guaranteed),
     # plus pure noise, plus padding
@@ -45,10 +66,12 @@ def test_sweep_matches_brute(small_index):
         0, 1, (Q // 2 - 8, idx.dim)).astype(np.float32)
     qs[-8:, : idx.dim] = SEED_PAD
 
-    K = 32
+    K = 48
     m_meta, m_d2, cnt, wrote = sweep_round(
         jnp.asarray(qs), jnp.asarray(sw.cum), jnp.asarray(sw.tiles),
-        jnp.asarray(sw.meta), radius=radius, K=K, TILE=sw.tile,
+        jnp.asarray(sw.meta), jnp.asarray(sw.rot), jnp.asarray(sw.mu),
+        jnp.asarray(sw.origin), radius=radius, K=K, TILE=sw.tile,
+        radixes=sw.radixes, span=sw.span, cell_width=sw.cell_width,
         interpret=True,
     )
     m_meta = np.asarray(m_meta)
@@ -56,22 +79,22 @@ def test_sweep_matches_brute(small_index):
     cnt = np.asarray(cnt)
     wrote = np.asarray(wrote)
 
-    truth = brute_matches(qs[:-8, : idx.dim], W, radius)
-    meta_all = sw.meta.reshape(-1)[: sw.n_windows]
-    for i, tset in enumerate(truth):
-        assert cnt[i] == len(tset), f"seed {i}: cnt {cnt[i]} != {len(tset)}"
-        want_meta = {int(meta_all[j]) for j in tset}
+    for i in range(Q - 8):
+        d2 = ((W - qs[i, None, : idx.dim]) ** 2).sum(axis=1)
+        inner = d2 < radius - EPS
+        outer = d2 < radius + EPS
+        want_inner = {int(m) for m in metas[inner]}
+        want_outer = {int(m) for m in metas[outer]}
         got = {int(m) for m in m_meta[i, : wrote[i]]}
-        if len(tset) <= K:
-            assert wrote[i] == len(tset)
-            assert got == want_meta
+        assert inner.sum() <= cnt[i] <= outer.sum(), f"seed {i}"
+        if outer.sum() <= K:
+            assert want_inner <= got <= want_outer, f"seed {i}"
         else:
-            assert got <= want_meta
-        # distances exact up to the |q|^2+|w|^2-2q.w expansion rounding
+            assert got <= want_outer, f"seed {i}"
+        # distances exact up to rotated-basis f32 rounding
+        meta_to_d2 = {int(m): d for m, d in zip(metas, d2)}
         for s in range(wrote[i]):
-            j = [jj for jj in tset if int(meta_all[jj]) == int(m_meta[i, s])]
-            d2 = ((W[j] - qs[i][None, : idx.dim]) ** 2).sum(axis=1)
-            assert np.any(np.abs(d2 - m_d2[i, s]) < 5e-4)
+            assert abs(meta_to_d2[int(m_meta[i, s])] - m_d2[i, s]) < 5e-4
     # padded seeds: no matches
     assert (cnt[-8:] == 0).all()
     assert (wrote[-8:] == 0).all()
@@ -84,17 +107,18 @@ def test_sweep_dense_cluster_truncation(small_index):
     cfg, idx = small_index
     radius = cfg.mapping.search_radius
     sw = SweepIndex.build(idx, radius, tile=256)
-    W = np.ascontiguousarray(
-        sw.tiles.transpose(0, 2, 1).reshape(-1, 8)
-    )[: sw.n_windows, : idx.dim]
-    # a zero query in z-scored space sits near many windows at radius 1.5
-    big_r = 1.5
+    W, _metas = _raw_windows_by_meta(idx)
+    # a zero query in z-scored space sits near many windows
     qs = np.zeros((32, 8), np.float32)
     m_meta, m_d2, cnt, wrote = sweep_round(
         jnp.asarray(qs), jnp.asarray(sw.cum), jnp.asarray(sw.tiles),
-        jnp.asarray(sw.meta), radius=radius, K=8, TILE=sw.tile,
+        jnp.asarray(sw.meta), jnp.asarray(sw.rot), jnp.asarray(sw.mu),
+        jnp.asarray(sw.origin), radius=radius, K=8, TILE=sw.tile,
+        radixes=sw.radixes, span=sw.span, cell_width=sw.cell_width,
         interpret=True,
     )
-    truth = brute_matches(qs[:1, : idx.dim], W, radius)
-    assert int(np.asarray(cnt)[0]) == len(truth[0])
+    d2 = ((W - qs[0, None, : idx.dim]) ** 2).sum(axis=1)
+    lo = int((d2 < radius - EPS).sum())
+    hi = int((d2 < radius + EPS).sum())
+    assert lo <= int(np.asarray(cnt)[0]) <= hi
     assert (np.asarray(wrote) <= 8).all()

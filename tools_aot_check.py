@@ -79,12 +79,12 @@ def run_one(which):
 
     from sigmap_tpu.ops.sweep_kernel import sweep_search
     TILE = 1024
-    NO = 8
+    NO = 27   # span-3 probes over bd-1 = 3 dims (index/sweep.py)
     if want("sweep_kernel"): ok &= check(
         "sweep_kernel",
         lambda bm, s, t, m: sweep_search(s, bm, t, m, radius=0.08, K=8,
                                          TILE=TILE),
-        ((2 * NO + 1, 1024), i32), ((131072, 8), f32),
+        ((1024, 2 * NO + 1), i32), ((131072, 8), f32),
         ((23000, 8, TILE), f32), ((23000, 8, TILE // 8), i32),
     )
 

@@ -29,7 +29,7 @@ def main():
     from sigmap_tpu.io.fasta import ReferenceSequence
     from sigmap_tpu.io.pore_model import make_synthetic_pore_model
     from sigmap_tpu.io.signals import ReadSignal, dac_to_pa
-    from sigmap_tpu.mapping.turbo import TurboMapper, TurboParams, turbo_round
+    from sigmap_tpu.mapping.turbo import TurboMapper
     from sigmap_tpu.synth import random_genome, simulate_reads
     from sigmap_tpu.utils import enable_compilation_cache
 
@@ -52,6 +52,7 @@ def main():
 
     import dataclasses
 
+    tm = None
     for B in (int(x) for x in args.batches.split(",")):
         cfgB = dataclasses.replace(
             cfg, runtime=dataclasses.replace(cfg.runtime, read_batch=B)
@@ -60,43 +61,35 @@ def main():
         tm = TurboMapper(idx, cfgB)
         log(f"B={B}: mapper init {time.perf_counter()-t0:.1f}s")
         batch = signals[:B] if len(signals) >= B else signals
-        # manual round loop with timing
-        m = cfgB.mapping
-        p = tm.p
-        Cs = m.chunk_size
-        n_full = np.zeros(B, np.int32)
-        for i, s in enumerate(batch):
-            n_full[i] = min(s.length // Cs, m.max_num_chunks)
-        NC = max(1, int(n_full.max(initial=0)))
-        NC = 1 << (NC - 1).bit_length()
-        sig = np.zeros((B, NC, Cs), np.float32)
-        for i, s in enumerate(batch):
-            L = min(s.length, NC * Cs)
-            sig[i].reshape(-1)[:L] = s.pa[:L]
         t0 = time.perf_counter()
-        sl0 = jax.device_put(np.ascontiguousarray(sig[:, 0]))
-        np.asarray(sl0.ravel()[:1])
-        up = time.perf_counter() - t0
-        log(f"B={B}: slice upload {sig[:, 0].nbytes/1e6:.0f} MB in "
-            f"{up*1000:.0f} ms ({sig[:, 0].nbytes/up/1e6:.0f} MB/s)")
-        n_full_d = jax.device_put(n_full)
-        state = tm._init_state(B)
+        prep = tm._prepare_batch(batch)
+        feats_all, counts_all, n_full_d, n_full, NC = prep
+        np.asarray(counts_all.ravel()[:1])
+        log(f"B={B}: prepare (quantize+upload+events, compile) "
+            f"{time.perf_counter()-t0:.1f}s  NC={NC}")
+        t0 = time.perf_counter()
+        prep = tm._prepare_batch(batch)
+        feats_all, counts_all, n_full_d, n_full, NC = prep
+        np.asarray(counts_all.ravel()[:1])
+        log(f"B={B}: prepare (warm) {time.perf_counter()-t0:.2f}s")
+        state = tm._place_state(tm._init_state(B))
         (chunk_idx, done, stopped, offsets, carry, rb_f, rb_i) = state
 
         t0 = time.perf_counter()
-        out = tm._run_round(sl0, n_full_d, chunk_idx, done, stopped,
-                            offsets, carry, rb_f, rb_i)
+        out = tm._run_round(feats_all, counts_all, np.int32(0), n_full_d,
+                            chunk_idx, done, stopped, offsets, carry,
+                            rb_f, rb_i)
         np.asarray(out[-1])
         log(f"B={B}: first round (compile) {time.perf_counter()-t0:.1f}s")
         times = []
+        out_prev = out[:7]
         for r in range(args.rounds):
-            slr = jax.device_put(
-                np.ascontiguousarray(sig[:, min(r + 1, NC - 1)])
-            )
             t0 = time.perf_counter()
-            out = tm._run_round(slr, n_full_d, *out[:7])
+            out = tm._run_round(feats_all, counts_all, np.int32(r + 1),
+                                n_full_d, *out_prev)
             hs = np.asarray(out[-1])
             dt = time.perf_counter() - t0
+            out_prev = out[:7]
             times.append(dt)
             ndone = int(hs[:B].sum())
             log(f"B={B}: round {r}: {dt*1000:.1f} ms  done={ndone}/{B}")
@@ -104,11 +97,11 @@ def main():
         log(f"B={B}: median round {tpr*1000:.1f} ms -> "
             f"{B/tpr:.0f} read-rounds/s")
 
-    if args.stages:
-        _stages(tm, sl0, n_full_d, B, NC, log)
+    if args.stages and tm is not None:
+        _stages(tm, feats_all, counts_all, B, log)
 
 
-def _stages(tm, signals_d, n_full_d, B, NC, log):
+def _stages(tm, feats_all, counts_all, B, log):
     """Time each stage of one round separately (jitted pieces)."""
     import functools
 
@@ -118,7 +111,6 @@ def _stages(tm, signals_d, n_full_d, B, NC, log):
     from sigmap_tpu.mapping.turbo import anchors_qpos_major, build_seeds
     from sigmap_tpu.mapping.sweep_search import sweep_round
     from sigmap_tpu.ops.chain_fused import chain_fused
-    from sigmap_tpu.signal.events import batch_generate_events
 
     p = tm.p
     m = tm.cfg.mapping
@@ -139,33 +131,26 @@ def _stages(tm, signals_d, n_full_d, B, NC, log):
         log(f"  {label}: {(time.perf_counter()-t0)/reps*1000:.1f} ms")
         return out
 
-    ch = signals_d
-    clen = jnp.full((B,), signals_d.shape[1], jnp.int32)
-
-    ev = functools.partial(
-        batch_generate_events, cfg=tm.cfg.event, max_events=p.max_events,
-        max_features=p.max_features, compress_delta=m.compress_delta,
-        peaks_impl=p.peaks_impl,
-    )
-    feats, _stdv, counts, _ = tit(
-        jax.jit(ev), ch, clen, label="events"
-    )
+    feats = feats_all[:, 0]
+    counts = counts_all[:, 0]
     bs = jax.jit(functools.partial(
         build_seeds, S=p.S, step=m.step_size, dim=tm.index.dim,
         min_feature_length=m.min_feature_length,
     ))
     seeds, qpos, has_f, _ovf = tit(bs, feats, counts, offsets,
                                    label="build_seeds")
+    radixes, span, cell_width = tm.geom
     sr = functools.partial(
         sweep_round, radius=m.search_radius, K=p.K, TILE=p.TILE,
-        dim=tm.index.dim, block=p.block, interpret=tm.interpret,
+        dim=tm.index.dim, block=p.block, radixes=radixes, span=span,
+        cell_width=cell_width, interpret=tm.interpret,
     )
     m_meta, m_d2, cnt, wrote = tit(
         sr, seeds.reshape(B * p.S, 8), tm.cum, tm.tiles, tm.meta,
+        tm.rot, tm.mu, tm.origin,
         label="sweep_round",
     )
     cnt_h = np.asarray(cnt)
-    live = cnt_h[np.asarray(has_f).repeat(p.S) if has_f.ndim else cnt_h > -1]
     qs = np.percentile(cnt_h, [50, 90, 99, 99.9, 100])
     log(f"  match counts: p50={qs[0]:.0f} p90={qs[1]:.0f} p99={qs[2]:.0f} "
         f"p99.9={qs[3]:.0f} max={qs[4]:.0f}  overflow(>K={p.K}): "
@@ -182,7 +167,7 @@ def _stages(tm, signals_d, n_full_d, B, NC, log):
     a_g = jnp.concatenate([jnp.where(c_g == -2, -1, c_g), n_g], axis=0)
     cf = functools.partial(
         chain_fused, radius=m.search_radius, dim=tm.index.dim, ring=p.RING,
-        cfg=tm.cfg.chain, interpret=tm.interpret,
+        cfg=tm.cfg.chain, interpret=tm.interpret, kb=p.K,
     )
     tit(cf, a_t, a_q, a_d, a_g, c_score, c_stt, c_stq, c_n, c_sumd,
         label="chain_fused")

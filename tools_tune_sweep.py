@@ -69,18 +69,26 @@ def main():
 
     for TILE in (int(x) for x in args.tiles.split(",")):
         sw = SweepIndex.build(idx, m.search_radius, tile=TILE)
-        dt_, dm_, dc_ = (jax.device_put(jnp.asarray(x))
-                         for x in (sw.tiles, sw.meta, sw.cum))
+        dt_, dm_, dc_, dr_, dmu_, do_ = (
+            jax.device_put(jnp.asarray(x))
+            for x in (sw.tiles, sw.meta, sw.cum, sw.rot, sw.mu, sw.origin)
+        )
         dq = jax.device_put(jnp.asarray(seeds))
+
+        def run(block):
+            return sweep_round(
+                dq, dc_, dt_, dm_, dr_, dmu_, do_, radius=m.search_radius,
+                K=p.K, TILE=TILE, dim=idx.dim, block=block,
+                radixes=sw.radixes, span=sw.span, cell_width=sw.cell_width,
+            )
+
         for block in (int(x) for x in args.blocks.split(",")):
-            out = sweep_round(dq, dc_, dt_, dm_, radius=m.search_radius,
-                              K=p.K, TILE=TILE, dim=idx.dim, block=block)
+            out = run(block)
             np.asarray(out[0].ravel()[:1])
             reps = 3
             t0 = time.perf_counter()
             for _ in range(reps):
-                out = sweep_round(dq, dc_, dt_, dm_, radius=m.search_radius,
-                                  K=p.K, TILE=TILE, dim=idx.dim, block=block)
+                out = run(block)
                 np.asarray(out[0].ravel()[:1])
             dt = (time.perf_counter() - t0) / reps
             wrote = np.asarray(out[3])
