@@ -495,7 +495,7 @@ class TurboMapper:
             (chunk_idx, done, stopped, offsets, carry, rb_f, rb_i,
              _counts, _ovf, host_sig) = out
             done_h, ovf_h = self._unpack_host_sig(
-                np.asarray(host_sig), B
+                self._fetch(host_sig), B
             )
             round_ms = (time.perf_counter() - t0) * 1000
             act = ~prev_done
@@ -515,11 +515,11 @@ class TurboMapper:
                 )
                 ovf_warned = True
         # final summaries to host
-        rb_f_h = np.asarray(rb_f)
-        rb_i_h = np.asarray(rb_i)
-        chunk_idx_h = np.asarray(chunk_idx)
-        stopped_h = np.asarray(stopped)
-        offsets_h = np.asarray(offsets)
+        rb_f_h = self._fetch(rb_f)
+        rb_i_h = self._fetch(rb_i)
+        chunk_idx_h = self._fetch(chunk_idx)
+        stopped_h = self._fetch(stopped)
+        offsets_h = self._fetch(offsets)
         for i, s in enumerate(batch):
             self._emit(
                 records, base + i, s, rb_f_h[:, i], rb_i_h[:, i],
@@ -528,6 +528,10 @@ class TurboMapper:
             )
 
     # --- placement/execution hooks (overridden by TurboShardMapper) -----
+
+    # device -> host transfer; multi-process mappers override with a
+    # process_allgather so data-sharded rows reach every host
+    _fetch = staticmethod(np.asarray)
 
     def _place_batch(self, q, qoff, qscale, n_full):
         sh = getattr(self, "_sh_d", None)

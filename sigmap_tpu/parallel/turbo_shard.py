@@ -197,6 +197,15 @@ class TurboShardMapper(TurboMapper):
         self._sh_d = NamedSharding(mesh, P("data"))
         self._sh_r = sh_r
         self._sh_nd = NamedSharding(mesh, P(None, "data"))
+        if jax.process_count() > 1:
+            # multi-host: data-sharded rows live on remote processes; pull
+            # them with a tiled allgather (the cross-host analogue of the
+            # reference's thread-buffer merge, sigmap.cc:217-241)
+            from jax.experimental import multihost_utils
+
+            self._fetch = lambda x: np.asarray(
+                multihost_utils.process_allgather(x, tiled=True)
+            )
 
     # --- hooks used by TurboMapper._map_batch ---------------------------
 
