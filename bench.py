@@ -198,10 +198,12 @@ def main():
         batch = args.batch or 16
     else:
         # canonical scale: the reference quickstart is yeast ~12 Mb
-        # (/root/reference/README.md:17-23)
+        # (/root/reference/README.md:17-23); >= 3 batches so the prefetch
+        # pipeline (quantize+upload+events of batch N+1 overlapping batch
+        # N's rounds) reaches steady state
         genome_mb = args.genome_mb or 12.0
-        n_reads = args.reads or 512
-        batch = args.batch or 512
+        n_reads = args.reads or 6144
+        batch = args.batch or 2048
 
     cfg, idx, reads, signals, t_index = build_workload(
         genome_mb, n_reads, args.read_bases

@@ -165,16 +165,29 @@ def sweep_round(
     blockmeta = jnp.concatenate(
         [m_start.astype(jnp.int32), cums], axis=1
     ).T  # [2*NO+1, G]
-    # the per-block table rides SMEM scalar prefetch (1 MB): chunk the
-    # launch so each call's table stays small; chunk boundaries align with
-    # blocks, so results are identical to one big launch
+    # The per-block table rides SMEM scalar prefetch (1 MB): chunk the
+    # launch so each call's table stays small.  Every chunk is padded to
+    # EXACTLY MAXG blocks (padding blocks have total == 0 and exit
+    # immediately), so one Mosaic kernel compile serves every batch size
+    # (the grid count is baked into the kernel, and fresh compiles of this
+    # kernel run minutes-long for some block sizes).
     MAXG = 2048
+    n_chunks = max(1, -(-G // MAXG))
+    Gp = n_chunks * MAXG
+    if Gp != G:
+        qr_s = jnp.concatenate([
+            qr_s,
+            jnp.zeros(((Gp - G) * block, 8), jnp.float32),
+        ], axis=0)
+        blockmeta = jnp.concatenate([
+            blockmeta,
+            jnp.zeros((blockmeta.shape[0], Gp - G), jnp.int32),
+        ], axis=1)
     parts = []
-    for g0 in range(0, G, MAXG):
-        gs = min(MAXG, G - g0)
+    for g0 in range(0, Gp, MAXG):
         parts.append(sweep_search(
-            jax.lax.slice_in_dim(qr_s, g0 * block, (g0 + gs) * block),
-            jax.lax.slice_in_dim(blockmeta, g0, g0 + gs, axis=1),
+            jax.lax.slice_in_dim(qr_s, g0 * block, (g0 + MAXG) * block),
+            jax.lax.slice_in_dim(blockmeta, g0, g0 + MAXG, axis=1),
             tiles, meta,
             radius=radius, K=K, TILE=TILE, dim=dim, block=block,
             interpret=interpret,

@@ -1,0 +1,166 @@
+#!/usr/bin/env python
+"""Turbo-vs-exact concordance + simulation-truth accuracy at scale.
+
+Runs both streaming engines on the same simulated workload (default:
+512 reads on a 12 Mb genome — the reference quickstart's yeast scale,
+/root/reference/README.md:17-23) and reports:
+
+* locus concordance: same strand + ref + |tstart delta| <= slack;
+* mapped/unmapped decision agreement, mapq mean absolute delta,
+  ci (chunks-to-decision) mean absolute delta — the adaptive-sampling
+  latency metric (eval/eval.py:107-110);
+* simulation-truth precision/recall/F1 for each engine
+  (sigmap_tpu.evaluate protocol).
+
+Writes PARITY_TURBO.json; PARITY.md quotes these numbers.
+
+Usage: python tools_concordance.py [--genome-mb 12] [--reads 512]
+       [--k 8] [--batch 512]
+"""
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--genome-mb", type=float, default=12.0)
+    ap.add_argument("--reads", type=int, default=512)
+    ap.add_argument("--read-bases", type=int, default=3000)
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--k", type=int, default=None,
+                    help="TurboParams.K override")
+    ap.add_argument("--slack", type=int, default=500)
+    ap.add_argument("--out", default="PARITY_TURBO.json")
+    args = ap.parse_args()
+
+    import dataclasses
+    import io
+
+    from sigmap_tpu.config import SigmapConfig
+    from sigmap_tpu.evaluate import evaluate_against_truth
+    from sigmap_tpu.index.build import build_index
+    from sigmap_tpu.io.fasta import ReferenceSequence
+    from sigmap_tpu.io.pore_model import make_synthetic_pore_model
+    from sigmap_tpu.io.signals import ReadSignal, dac_to_pa
+    from sigmap_tpu.mapping.driver import Mapper
+    from sigmap_tpu.mapping.turbo import TurboMapper, TurboParams
+    from sigmap_tpu.synth import random_genome, simulate_reads
+    from sigmap_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    cfg = SigmapConfig()
+    cfg = dataclasses.replace(
+        cfg, runtime=dataclasses.replace(cfg.runtime, read_batch=args.batch)
+    )
+    pore = make_synthetic_pore_model(k=6, seed=0)
+    genome = random_genome(int(args.genome_mb * 1e6), seed=1)
+    seqs = [ReferenceSequence(n, c) for n, c in genome]
+    t0 = time.perf_counter()
+    idx = build_index(seqs, pore, cfg.index, cfg.mapping.search_radius,
+                      verbose=False)
+    log(f"index: {time.perf_counter()-t0:.1f}s")
+    reads = simulate_reads(pore, genome, args.reads, seed=2,
+                           read_bases=args.read_bases)
+    signals = [
+        ReadSignal(r.read_id, r.digitisation, r.range, r.offset,
+                   dac_to_pa(r.raw, r.digitisation, r.range, r.offset))
+        for r in reads
+    ]
+
+    import jax
+
+    on_cpu = jax.default_backend() == "cpu"
+    params = None
+    if args.k is not None or on_cpu:
+        params = TurboParams(
+            K=args.k or 8, peaks_impl="scan" if on_cpu else "pallas"
+        )
+    t0 = time.perf_counter()
+    turbo = TurboMapper(idx, cfg, params).streaming_map(signals)
+    t_turbo = time.perf_counter() - t0
+    log(f"turbo: {t_turbo:.1f}s ({len(signals)/t_turbo:.1f} reads/s)")
+
+    t0 = time.perf_counter()
+    exact = Mapper(idx, cfg).streaming_map(signals)
+    t_exact = time.perf_counter() - t0
+    log(f"exact: {t_exact:.1f}s ({len(signals)/t_exact:.1f} reads/s)")
+
+    tb = {r.read_name: r for r in turbo}
+    ex = {r.read_name: r for r in exact}
+
+    def tag(rec, key, cast):
+        probe = f"{key}:"
+        for t in rec.tags.split("\t"):
+            if t.startswith(probe):
+                return cast(t.split(":", 2)[2])
+        return None
+
+    n = len(reads)
+    both_mapped = both_unmapped = decision_diff = 0
+    locus_agree = 0
+    mapq_d, ci_d = [], []
+    for r in reads:
+        a = tb.get(r.read_id)
+        b = ex.get(r.read_id)
+        if a is None or b is None:
+            decision_diff += 1
+            continue
+        ca, cb = tag(a, "ci", int), tag(b, "ci", int)
+        if ca is not None and cb is not None:
+            ci_d.append(abs(ca - cb))
+        if a.is_mapped and b.is_mapped:
+            both_mapped += 1
+            same = (
+                a.direction == b.direction
+                and a.ref_index == b.ref_index
+                and abs(a.fragment_start - b.fragment_start) <= args.slack
+            )
+            locus_agree += int(same)
+            mapq_d.append(abs(a.mapq - b.mapq))
+        elif not a.is_mapped and not b.is_mapped:
+            both_unmapped += 1
+        else:
+            decision_diff += 1
+
+    buf = io.StringIO()
+    res_t = evaluate_against_truth(turbo, reads, out=buf)
+    res_e = evaluate_against_truth(exact, reads, out=buf)
+
+    report = {
+        "genome_mb": args.genome_mb,
+        "n_reads": n,
+        "turbo_k": (params.K if params else TurboParams().K),
+        "slack_bp": args.slack,
+        "both_mapped": both_mapped,
+        "both_unmapped": both_unmapped,
+        "decision_disagree": decision_diff,
+        "locus_concordance": round(locus_agree / max(1, both_mapped), 4),
+        "mapq_mean_abs_delta": round(float(np.mean(mapq_d)), 2) if mapq_d else None,
+        "ci_mean_abs_delta": round(float(np.mean(ci_d)), 3) if ci_d else None,
+        "ci_equal_pct": round(
+            100.0 * float(np.mean(np.asarray(ci_d) == 0)), 1
+        ) if ci_d else None,
+        "turbo": {"precision": round(res_t.precision, 4),
+                  "recall": round(res_t.recall, 4),
+                  "f1": round(res_t.f1, 4),
+                  "reads_per_s": round(n / t_turbo, 2)},
+        "exact": {"precision": round(res_e.precision, 4),
+                  "recall": round(res_e.recall, 4),
+                  "f1": round(res_e.f1, 4),
+                  "reads_per_s": round(n / t_exact, 2)},
+    }
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report, indent=1))
+
+
+if __name__ == "__main__":
+    main()
