@@ -56,7 +56,7 @@ from ..index.build import SignalIndex
 from ..index.sweep import META_POS_BITS, SweepIndex
 from ..io.paf import ChainsSummary, PAFRecord, streaming_tags
 from ..io.signals import ReadSignal
-from ..signal.events import batch_generate_events
+from ..signal.events import batch_generate_features
 from .sweep_search import SEED_PAD, sweep_round
 
 NEG = np.float32(-1e30)
@@ -321,7 +321,7 @@ def batch_features(
     ) * qscale[:, None, None]
     chunk_ok = jnp.arange(NC)[None, :] < n_full[:, None]
     clen = jnp.where(chunk_ok, Cs, 0).astype(jnp.int32).reshape(B * NC)
-    feats, _stdv, counts, _ = batch_generate_events(
+    feats, counts = batch_generate_features(
         pa.reshape(B * NC, Cs), clen, cfg=ed_cfg, max_events=p.max_events,
         max_features=p.max_features, compress_delta=compress_delta,
         peaks_impl=p.peaks_impl,
@@ -446,6 +446,8 @@ class TurboMapper:
 
     def _prepare_batch(self, batch: list[ReadSignal]):
         """Quantize + upload + event-precompute one batch (thread-safe)."""
+        import os
+        t_prep0 = time.perf_counter()
         m = self.cfg.mapping
         B = self.cfg.runtime.read_batch
         Cs = m.chunk_size
@@ -456,19 +458,33 @@ class TurboMapper:
                 default=1,
             ),
         )
-        # bucket NC so every batch shape hits a cached compile
-        NC = min(1 << (nc_raw - 1).bit_length(), m.max_num_chunks)
+        # bucket NC so every batch shape hits a cached compile (finer
+        # than powers of two: chunks beyond every read's n_full are pure
+        # wasted event compute)
+        for NC in (1, 2, 3, 4, 6, 8, 12, 16, 24, 30):
+            if NC >= nc_raw or NC >= m.max_num_chunks:
+                break
         q, qoff, qscale, n_full = quantize_batch(
             batch, B, NC, Cs, m.max_num_chunks
         )
         qd, qoff_d, qscale_d, n_full_d = self._place_batch(
             q, qoff, qscale, n_full
         )
+        t_put = time.perf_counter()
         feats_all, counts_all = batch_features(
             qd, qoff_d, qscale_d, n_full_d,
             p=self.p, ed_cfg=self.cfg.event,
             compress_delta=m.compress_delta,
         )
+        if os.environ.get("SIGMAP_TURBO_DEBUG"):
+            import sys
+            counts_all.block_until_ready()
+            print(
+                f"[turbo] prepare: quantize+put "
+                f"{t_put - t_prep0:.2f}s events "
+                f"{time.perf_counter() - t_put:.2f}s NC={NC}",
+                file=sys.stderr, flush=True,
+            )
         return feats_all, counts_all, n_full_d, n_full, NC
 
     def _map_batch(self, batch: list[ReadSignal], base: int, records: dict,
@@ -503,6 +519,14 @@ class TurboMapper:
             mt[act] += round_ms / n_act
             prev_done = done_h
             rounds += 1
+            import os as _os
+            if _os.environ.get("SIGMAP_TURBO_DEBUG"):
+                import sys as _sys
+                print(
+                    f"[turbo] round {rounds - 1}: {round_ms:.0f} ms "
+                    f"active {n_act}",
+                    file=_sys.stderr, flush=True,
+                )
             if ovf_h.any() and not ovf_warned:
                 import sys
 

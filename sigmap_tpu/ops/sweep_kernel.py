@@ -116,30 +116,40 @@ def _kernel(
         rowsz = TILE // 8
         mcol = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, rowsz), 1)
 
+        # Grouped min-extract: d2m viewed as [BLOCK, 8, rowsz] (window
+        # w = r*rowsz + c), with per-iteration work on the 8-row-reduced
+        # [BLOCK, rowsz] minima — ~2.5x fewer full-tile passes than the
+        # flat drain this replaces.  Extraction order stays ascending d^2
+        # per (seed, tile), so slot contents are unchanged.
         def extract(ec):
-            # carry (masked distances, write cursor, current row minima):
-            # carrying an i1 mask through cond/fori trips a Mosaic layout
-            # bug, so extracted lanes are retired by setting their distance
-            # to INF; mn rides the carry so cond+body share one reduction
-            d2m, c_wrote, mn = ec
+            # carry (masked distances [B,8,rowsz], write cursor, column
+            # minima rmin [B,rowsz], row minima mn [B,1]); i1 masks can't
+            # ride the carry (Mosaic layout bug) -> retire by setting INF
+            d2m, c_wrote, rmin, mn = ec
             has = mn < radius
-            pos = jnp.min(
-                jnp.where(d2m == mn, col, TILE), axis=1, keepdims=True
-            )
-            sel = col == pos                                   # unique lane
-            # meta of the extracted window: row/col select into [8, rowsz]
-            prow = pos // rowsz                                # [BLOCK, 1]
-            pcol = pos - prow * rowsz
-            vrow = jnp.zeros((BLOCK, rowsz), jnp.int32)
+            pcol = jnp.min(
+                jnp.where(rmin == mn, mcol, rowsz), axis=1, keepdims=True
+            )                                                  # [BLOCK, 1]
+            csel = mcol == pcol                                # [BLOCK, rowsz]
+            # the 8 candidate values in the extracted column + meta rows
+            vals8 = []
+            mvals8 = []
             for r in range(8):
-                vrow = jnp.where(
-                    prow == r,
-                    jnp.broadcast_to(mtile[r, :][None, :], (BLOCK, rowsz)),
-                    vrow,
-                )
-            mval = jnp.sum(
-                jnp.where(mcol == pcol, vrow, 0), axis=1, keepdims=True
-            )
+                vals8.append(jnp.sum(
+                    jnp.where(csel, d2m[:, r, :], 0.0), axis=1,
+                    keepdims=True,
+                ))
+                mvals8.append(jnp.sum(
+                    jnp.where(csel, mtile[r, :][None, :], 0), axis=1,
+                    keepdims=True,
+                ))
+            # row of the minimum (first match wins on ties)
+            prow = jnp.full((BLOCK, 1), 8, jnp.int32)
+            mval = jnp.zeros((BLOCK, 1), jnp.int32)
+            for r in range(7, -1, -1):
+                hit_r = vals8[r] == mn
+                prow = jnp.where(hit_r, r, prow)
+                mval = jnp.where(hit_r, mvals8[r], mval)
             put = has & (c_wrote < K)
             hit = kcol == c_wrote                              # [BLOCK, K]
             out_meta_ref[...] = jnp.where(
@@ -148,26 +158,41 @@ def _kernel(
             out_d2_ref[...] = jnp.where(
                 hit & put, mn, out_d2_ref[...]
             )
-            d2m = jnp.where(sel, INF, d2m)
+            # retire the extracted window and refresh its column minimum
+            rsel8 = [
+                csel & (prow == r) for r in range(8)
+            ]
+            d2m = jnp.stack(
+                [jnp.where(rsel8[r], INF, d2m[:, r, :]) for r in range(8)],
+                axis=1,
+            )
+            newcol = d2m[:, 0, :]
+            for r in range(1, 8):
+                newcol = jnp.minimum(newcol, d2m[:, r, :])
+            rmin = jnp.where(csel, newcol, rmin)
             return (
-                d2m, c_wrote + put.astype(jnp.int32),
-                jnp.min(d2m, axis=1, keepdims=True),
+                d2m, c_wrote + put.astype(jnp.int32), rmin,
+                jnp.min(rmin, axis=1, keepdims=True),
             )
 
         def more(ec):
             # drain until every seed's tile matches are extracted or its K
             # output slots are full (full seeds keep retiring lanes, so the
             # loop always terminates within TILE iterations)
-            _d2m, c_wrote, mn = ec
+            _d2m, c_wrote, _rmin, mn = ec
             return jnp.any((mn < radius) & (c_wrote < K))
 
         def drain(mw):
-            d2m, c_wrote = mw
-            mn0 = jnp.min(d2m, axis=1, keepdims=True)
-            d2m, c_wrote, _ = jax.lax.while_loop(
-                more, extract, (d2m, c_wrote, mn0)
+            d2m_flat, c_wrote = mw
+            d2m = d2m_flat.reshape(BLOCK, 8, rowsz)
+            rmin = d2m[:, 0, :]
+            for r in range(1, 8):
+                rmin = jnp.minimum(rmin, d2m[:, r, :])
+            mn0 = jnp.min(rmin, axis=1, keepdims=True)
+            d2m, c_wrote, _, _ = jax.lax.while_loop(
+                more, extract, (d2m, c_wrote, rmin, mn0)
             )
-            return d2m, c_wrote
+            return d2m_flat, c_wrote
 
         # extraction only when the tile has any match (common tiles don't)
         _, wrote2 = jax.lax.cond(

@@ -342,3 +342,111 @@ def batch_generate_events(
         norm, stdvs, num_events, compress_delta, max_features
     )
     return feats, fstdvs, counts, num_events
+
+
+def events_means_batch(
+    peaks: jax.Array, n_peaks: jax.Array, chunks: jax.Array,
+    lengths: jax.Array, max_events: int,
+):
+    """events_from_peaks_batch without the stdv branch: one centered
+    prefix sum + two boundary gathers.  The turbo engine consumes only
+    compressed MEANS (seed windows), so the pss cumsum and its gathers —
+    about half the stage's cost — are skipped."""
+    B, C = chunks.shape
+    E = max_events
+    n = n_peaks
+    num_events = jnp.where(n == 0, 1, jnp.where(n == 1, 2, n)).astype(jnp.int32)
+    j = jnp.arange(E)[None, :]
+    L = lengths[:, None]
+    Q = jnp.where(j < n[:, None], peaks[:, :E], L)
+    start = jnp.where(j == 0, 0, jnp.take_along_axis(Q, jnp.maximum(j - 1, 0), 1))
+    end = jnp.where(j == num_events[:, None] - 1, L, Q)
+    valid = j < num_events[:, None]
+    start = jnp.clip(start, 0, L)
+    end = jnp.clip(end, start + 1, None)
+
+    t = jnp.arange(C)[None, :]
+    in_len = t < L
+    x = jnp.where(in_len, chunks, 0.0).astype(jnp.float32)
+    nf = jnp.maximum(L.astype(jnp.float32), 1.0)
+    cmean = jnp.sum(x, axis=1, keepdims=True) / nf
+    xc = jnp.where(in_len, x - cmean, 0.0)
+    zero = jnp.zeros((B, 1), jnp.float32)
+    ps = jnp.concatenate([zero, jnp.cumsum(xc, axis=1)], axis=1)
+    seg = (jnp.take_along_axis(ps, end, axis=1)
+           - jnp.take_along_axis(ps, start, axis=1))
+    length = (end - start).astype(jnp.float32)
+    means = seg / length + cmean
+    return jnp.where(valid, means, 0.0), num_events
+
+
+def compress_means_batch(norm, keep, max_features):
+    """Pack kept z-scored means to the front (no stdv payload)."""
+    B, E = norm.shape
+    counts = jnp.minimum(keep.sum(axis=1), max_features).astype(jnp.int32)
+    col = jnp.arange(E, dtype=jnp.int32)[None, :]
+    key = jnp.where(keep > 0, col, col + E)
+    _, feats = jax.lax.sort((key, norm), dimension=1, num_keys=1)
+    F = max_features
+    feats = feats[:, :F] if E >= F else jnp.pad(feats, ((0, 0), (0, F - E)))
+    live = jnp.arange(F, dtype=jnp.int32)[None, :] < counts[:, None]
+    return jnp.where(live, feats, 0.0), counts
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "max_events", "max_features", "compress_delta", "peaks_impl",
+    ),
+)
+def batch_generate_features(
+    chunks: jax.Array,
+    lengths: jax.Array,
+    cfg: EventDetectorConfig = EventDetectorConfig(),
+    max_events: int = 1024,
+    max_features: int = 1024,
+    compress_delta: float = 0.1,
+    peaks_impl: str = "scan",
+):
+    """Lean turbo feature path: like batch_generate_events but means-only
+    (no stdvs) with the compression scan on the Pallas fast path.
+    Returns (features [B,F], feature_counts [B])."""
+    t1 = batch_tstat(chunks, lengths, cfg.window_length1)
+    t2 = batch_tstat(chunks, lengths, cfg.window_length2)
+    if peaks_impl == "scan":
+        emits = detect_peaks_batch(t1, t2, lengths, cfg)
+    else:
+        from .events_pallas import detect_peaks_pallas
+
+        emits = detect_peaks_pallas(
+            t1, t2, lengths, cfg, interpret=(peaks_impl == "pallas_interpret")
+        )
+    peaks1, n_peaks = compact_nonzero(emits, max_events)
+    peaks = peaks1 - 1
+    means, num_events = events_means_batch(
+        peaks, n_peaks, chunks, lengths, max_events
+    )
+    norm = zscore_masked(means, num_events)
+    if peaks_impl == "scan":
+        def step(last, xs):
+            v, j = xs
+            valid = j < num_events
+            keep = valid & ((j == 0) | (jnp.abs(v - last) > compress_delta))
+            last = jnp.where(keep, v, last)
+            return last, keep
+
+        _, keeps = jax.lax.scan(
+            step,
+            jnp.zeros((norm.shape[0],), jnp.float32),
+            (norm.T, jnp.arange(norm.shape[1], dtype=jnp.int32)),
+        )
+        keep = keeps.T.astype(jnp.int32)
+    else:
+        from .events_pallas import compress_keep_pallas
+
+        keep = compress_keep_pallas(
+            norm, num_events, compress_delta,
+            interpret=(peaks_impl == "pallas_interpret"),
+        )
+    feats, counts = compress_means_batch(norm, keep, max_features)
+    return feats, counts

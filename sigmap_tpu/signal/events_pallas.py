@@ -22,7 +22,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import EventDetectorConfig
 
 FLT_MAX = float(np.float32(3.4028235e38))  # python scalar: no captured consts
-LANES = 128
+LANES = 512   # 4 vregs wide: 4x fewer sequential programs than 128
 
 
 def _peaks_kernel(t1_ref, t2_ref, len_ref, out_s_ref, out_l_ref, *, cfg, C):
@@ -128,7 +128,65 @@ def detect_peaks_pallas(
             jax.ShapeDtypeStruct((C, Bp), jnp.int32),
         ],
         interpret=interpret,
+        # [C, 512]-lane blocks x (2 in + 2 out), double-buffered across
+        # the grid: well past the default 16 MB scoped budget (v5e VMEM
+        # is 128 MB)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(t1, t2, lens)
     # interleave (step, short-then-long) like detect_peaks_batch
     emits = jnp.stack([out_s, out_l], axis=-1)  # [C, Bp, 2]
     return emits.transpose(1, 0, 2).reshape(Bp, 2 * C)[:B]
+
+
+def _compress_kernel(norm_ref, n_ref, keep_ref, *, delta, E):
+    """Delta run-collapse (sigmap.cc:1072-1079): keep j==0 and any value
+    whose |diff| from the last KEPT value exceeds delta.  Serial over the
+    event axis with all reads on the lanes."""
+    B = LANES
+    n = n_ref[0, :][None, :]
+    last0 = jnp.zeros((1, B), jnp.float32)
+
+    def body(j, last):
+        v = norm_ref[j, :][None, :]
+        valid = (j < n)
+        keep = valid & ((j == 0) | (jnp.abs(v - last) > delta))
+        keep_ref[j, :] = keep.astype(jnp.int32)[0, :]
+        return jnp.where(keep, v, last)
+
+    jax.lax.fori_loop(0, E, body, last0)
+
+
+@partial(jax.jit, static_argnames=("delta", "interpret"))
+def compress_keep_pallas(
+    norm: jax.Array,     # [B, E] f32 z-scored event means
+    n: jax.Array,        # [B] i32 event counts
+    delta: float,
+    interpret: bool = False,
+):
+    """Keep mask [B, E] i32 for the feature compression scan; replaces the
+    lax.scan formulation (whose per-step dispatch cost ~70 us x E)."""
+    B, E = norm.shape
+    Bp = -(-B // LANES) * LANES
+    pad = Bp - B
+    nt = jnp.pad(norm, ((0, pad), (0, 0))).T   # [E, Bp]
+    nn = jnp.pad(n, (0, pad))[None, :]
+    keep = pl.pallas_call(
+        partial(_compress_kernel, delta=float(delta), E=E),
+        grid=(Bp // LANES,),
+        in_specs=[
+            pl.BlockSpec((E, LANES), lambda g: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda g: (0, g),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((E, LANES), lambda g: (0, g),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((E, Bp), jnp.int32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(nt, nn)
+    return keep.T[:B]

@@ -140,3 +140,31 @@ def test_compression_semantics():
     # keep 0.0 (first), 0.2 (|0.2-0|>0.1), 0.45 (|0.45-0.2|>0.1)
     np.testing.assert_allclose(vals, [0.0, 0.2, 0.45])
     np.testing.assert_allclose(stds, [0.0, 2.0, 4.0])
+
+
+@pytest.mark.parametrize("impl", ["scan", "pallas_interpret"])
+def test_lean_features_match_full_pipeline(rng, impl):
+    """batch_generate_features (turbo's means-only fast path, with the
+    Pallas compression kernel) == batch_generate_events' features."""
+    from sigmap_tpu.signal.events import (
+        batch_generate_events, batch_generate_features,
+    )
+
+    B, C = 5, 1500
+    sigs = rng.normal(85, 10, (B, C)).astype(np.float32)
+    for b in range(B):
+        for s in range(0, C, 11):
+            sigs[b, s : s + 11] += rng.normal(0, 7)
+    lengths = np.array([C, C - 137, 600, 51, 0], np.int32)
+    feats_full, _stdv, counts_full, _ = batch_generate_events(
+        sigs, lengths, peaks_impl=impl
+    )
+    feats_lean, counts_lean = batch_generate_features(
+        sigs, lengths, peaks_impl=impl
+    )
+    np.testing.assert_array_equal(
+        np.asarray(counts_full), np.asarray(counts_lean)
+    )
+    np.testing.assert_allclose(
+        np.asarray(feats_full), np.asarray(feats_lean), atol=2e-6
+    )

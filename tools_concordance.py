@@ -29,6 +29,84 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def oracle_records(idx, cfg, signals, threads=8):
+    """Truly exact records: native k-d tree + host chaining (the
+    reference's 5000-anchor cap), emission mirroring
+    Mapper._finish_streaming (sigmap.cc:690-866)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from sigmap_tpu.io.paf import ChainsSummary, PAFRecord, streaming_tags
+    from sigmap_tpu.mapping.chain import POSITIVE
+    from sigmap_tpu.oracle import Oracle
+
+    m = cfg.mapping
+    oracle = Oracle(idx, cfg)
+
+    def one(item):
+        rid, s = item
+        ci_adj, num_events, ch, _stopped = oracle.streaming_read(s.pa)
+        ci = ci_adj + 1
+        scale = 0.0
+        if num_events > 0:
+            scale = (ci * m.chunk_size / num_events) / (
+                m.sample_rate / m.bp_per_sec
+            )
+        mean = sum(c.score for c in ch) / len(ch) if ch else 0.0
+        out_ok = (
+            len(ch) >= 2
+            and (
+                ch[0].score / ch[1].score >= m.output_mapping_ratio
+                or ch[0].score >= m.output_mapping_mean_ratio * mean
+            )
+        ) or (
+            len(ch) == 1
+            and ch[0].num_anchors >= m.output_mapping_min_num_anchors
+        )
+        sl = s.length
+        summ = None
+        if ch:
+            best = ch[0]
+            a = best.anchors
+            summ = ChainsSummary(
+                num_anchors=best.num_anchors, num_chains=len(ch),
+                s1=best.score,
+                s2=ch[1].score if len(ch) > 1 else 0.0, sm=mean,
+                ad=float(a["dist"].sum()) / best.num_anchors,
+                at=float((a["target"][:-1] - a["target"][1:]).sum())
+                / best.num_anchors,
+                aq=float((a["query"][:-1] - a["query"][1:]).sum())
+                / best.num_anchors,
+            )
+        tags = streaming_tags(0.0, ci, sl, summ)
+        if not out_ok:
+            return PAFRecord(
+                read_id=rid, read_name=s.read_id, read_length=sl,
+                read_start=0, read_end=0, ref_index=0, fragment_start=0,
+                fragment_length=0, mapq=61, direction=0, tags=tags,
+            )
+        best = ch[0]
+        ref_len = idx.ref_lengths[best.ref_index]
+        tstart = (
+            best.start_position if best.direction == POSITIVE
+            else ref_len + 1 - best.end_position
+        )
+        return PAFRecord(
+            read_id=rid, read_name=s.read_id, read_length=sl,
+            read_start=int(scale * best.anchors["query"][-1]),
+            read_end=int(scale * best.anchors["query"][0]),
+            ref_index=best.ref_index, fragment_start=int(tstart),
+            fragment_length=int(
+                best.end_position - best.start_position + 1
+            ),
+            mapq=best.mapq,
+            direction=1 if best.direction == POSITIVE else 0,
+            tags=tags,
+        )
+
+    with ThreadPoolExecutor(threads) as ex:
+        return list(ex.map(one, enumerate(signals)))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--genome-mb", type=float, default=12.0)
@@ -39,6 +117,12 @@ def main():
                     help="TurboParams.K override")
     ap.add_argument("--slack", type=int, default=500)
     ap.add_argument("--out", default="PARITY_TURBO.json")
+    ap.add_argument("--exact-engine", choices=["oracle", "device"],
+                    default="oracle",
+                    help="oracle = native k-d tree + host chains (truly "
+                         "exact, reference 5000-anchor cap); device = "
+                         "Mapper.streaming_map (its candidate caps "
+                         "truncate on dense indexes)")
     args = ap.parse_args()
 
     import dataclasses
@@ -89,9 +173,13 @@ def main():
     log(f"turbo: {t_turbo:.1f}s ({len(signals)/t_turbo:.1f} reads/s)")
 
     t0 = time.perf_counter()
-    exact = Mapper(idx, cfg).streaming_map(signals)
+    if args.exact_engine == "device":
+        exact = Mapper(idx, cfg).streaming_map(signals)
+    else:
+        exact = oracle_records(idx, cfg, signals)
     t_exact = time.perf_counter() - t0
-    log(f"exact: {t_exact:.1f}s ({len(signals)/t_exact:.1f} reads/s)")
+    log(f"exact[{args.exact_engine}]: {t_exact:.1f}s "
+        f"({len(signals)/t_exact:.1f} reads/s)")
 
     tb = {r.read_name: r for r in turbo}
     ex = {r.read_name: r for r in exact}
