@@ -50,7 +50,7 @@ def _kernel(
     out_meta_ref,  # [BLOCK, K] i32
     out_d2_ref,    # [BLOCK, K] f32
     out_cnt_ref,   # [BLOCK, 2] i32 (total matches, written slots)
-    wbuf, mbuf, sem, msem,
+    wbuf, mbuf, dbuf, wscr, sem, msem,
     *, radius, K, TILE, dim, block, n_offsets,
 ):
     g = pl.program_id(0)
@@ -66,6 +66,7 @@ def _kernel(
 
     out_meta_ref[...] = jnp.zeros((BLOCK, K), jnp.int32)
     out_d2_ref[...] = jnp.zeros((BLOCK, K), jnp.float32)
+    wscr[...] = jnp.zeros((BLOCK, 1), jnp.int32)
 
     def tile_of(s):
         """Flat step -> global tile index (offset decoded via cumsum)."""
@@ -87,8 +88,7 @@ def _kernel(
         for c in dma(0, 0):
             c.start()
 
-    def step(s, carry):
-        cnt, wrote = carry
+    def step(s, cnt):
         slot = jax.lax.rem(s, 2)
 
         @pl.when(s + 1 < total)
@@ -116,101 +116,106 @@ def _kernel(
         rowsz = TILE // 8
         mcol = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, rowsz), 1)
 
-        # Grouped min-extract: d2m viewed as [BLOCK, 8, rowsz] (window
-        # w = r*rowsz + c), with per-iteration work on the 8-row-reduced
-        # [BLOCK, rowsz] minima — ~2.5x fewer full-tile passes than the
-        # flat drain this replaces.  Extraction order stays ascending d^2
-        # per (seed, tile), so slot contents are unchanged.
-        def extract(ec):
-            # carry (masked distances [B,8,rowsz], write cursor, column
-            # minima rmin [B,rowsz], row minima mn [B,1]); i1 masks can't
-            # ride the carry (Mosaic layout bug) -> retire by setting INF
-            d2m, c_wrote, rmin, mn = ec
-            has = mn < radius
-            pcol = jnp.min(
-                jnp.where(rmin == mn, mcol, rowsz), axis=1, keepdims=True
-            )                                                  # [BLOCK, 1]
-            csel = mcol == pcol                                # [BLOCK, rowsz]
-            # the 8 candidate values in the extracted column + meta rows
-            vals8 = []
-            mvals8 = []
+        # Wave drain: d2m viewed as [BLOCK, 8, rowsz] (window w = r*rowsz
+        # + c); each wave extracts ALL 8 row-group minima at once into the
+        # seed's next output slots (row-order within the wave, self-
+        # predicated by has/slot<K so exhausted rows and full seeds are
+        # no-ops).  The first NWAVE waves run STRAIGHT-LINE — measured on
+        # v5e, a while-loop iteration costs ~3-4 us in cond-evaluate +
+        # vector->scalar->branch overhead vs ~0.4 us for the wave's actual
+        # vector work, and the one-at-a-time drain this replaces burned
+        # 74% of the sweep in that overhead.  A residual while-loop then
+        # covers the rare deep tile (a needy seed with more matches in one
+        # row-group than NWAVE), preserving the contract that seeds whose
+        # matches fit in K slots report ALL of them; observable-truncation
+        # counts are unchanged.
+        NWAVE = 3
+
+        def wave():
+            """One extraction wave, in place: dbuf (masked distances,
+            [BLOCK, TILE]; row-group r = lanes [r*rowsz, (r+1)*rowsz))
+            and wscr (write cursors) are VMEM scratch
+            mutated directly — SSA copies of the 512 KB distance buffer
+            across unrolled waves blew the 16 MB scoped-vmem stack."""
+            c_wrote = wscr[...]
+            mins, pcols, mvals = [], [], []
             for r in range(8):
-                vals8.append(jnp.sum(
-                    jnp.where(csel, d2m[:, r, :], 0.0), axis=1,
+                row = dbuf[:, r * rowsz:(r + 1) * rowsz]
+                mn_r = jnp.min(row, axis=1, keepdims=True)      # [B, 1]
+                pcol_r = jnp.min(
+                    jnp.where(row == mn_r, mcol, rowsz), axis=1,
                     keepdims=True,
-                ))
-                mvals8.append(jnp.sum(
-                    jnp.where(csel, mtile[r, :][None, :], 0), axis=1,
-                    keepdims=True,
-                ))
-            # row of the minimum (first match wins on ties)
-            prow = jnp.full((BLOCK, 1), 8, jnp.int32)
-            mval = jnp.zeros((BLOCK, 1), jnp.int32)
-            for r in range(7, -1, -1):
-                hit_r = vals8[r] == mn
-                prow = jnp.where(hit_r, r, prow)
-                mval = jnp.where(hit_r, mvals8[r], mval)
-            put = has & (c_wrote < K)
-            hit = kcol == c_wrote                              # [BLOCK, K]
-            out_meta_ref[...] = jnp.where(
-                hit & put, mval, out_meta_ref[...]
-            )
-            out_d2_ref[...] = jnp.where(
-                hit & put, mn, out_d2_ref[...]
-            )
-            # retire the extracted window and refresh its column minimum
-            rsel8 = [
-                csel & (prow == r) for r in range(8)
-            ]
-            d2m = jnp.stack(
-                [jnp.where(rsel8[r], INF, d2m[:, r, :]) for r in range(8)],
-                axis=1,
-            )
-            newcol = d2m[:, 0, :]
+                )
+                mval_r = jnp.sum(
+                    jnp.where(mcol == pcol_r, mtile[r, :][None, :], 0),
+                    axis=1, keepdims=True,
+                )
+                mins.append(mn_r)
+                pcols.append(pcol_r)
+                mvals.append(mval_r)
+            has = [mins[r] < radius for r in range(8)]
+            # slots in ROW order within the wave (prefix count of accepted
+            # rows: [BLOCK, 1] vectors live on the sublane axis, so an
+            # O(rows^2) ascending-d^2 rank network here measurably
+            # dominated the wave)
+            n_put = jnp.zeros((BLOCK, 1), jnp.int32)
+            out_m = out_meta_ref[...]
+            out_d = out_d2_ref[...]
+            for r in range(8):
+                slot = c_wrote + n_put
+                put = has[r] & (slot < K)
+                hit = (kcol == slot) & put
+                out_m = jnp.where(hit, mvals[r], out_m)
+                out_d = jnp.where(hit, mins[r], out_d)
+                n_put = n_put + put.astype(jnp.int32)
+            out_meta_ref[...] = out_m
+            out_d2_ref[...] = out_d
+            # retire every extracted row-min (matches beyond a seed's K
+            # slots are dropped, exactly as the old drain dropped them)
+            for r in range(8):
+                sl = pl.ds(r * rowsz, rowsz)
+                dbuf[:, sl] = jnp.where(
+                    (mcol == pcols[r]) & has[r], INF, dbuf[:, sl]
+                )
+            wscr[...] = c_wrote + n_put
+
+        def dbuf_min():
+            rmin = dbuf[:, 0:rowsz]
             for r in range(1, 8):
-                newcol = jnp.minimum(newcol, d2m[:, r, :])
-            rmin = jnp.where(csel, newcol, rmin)
-            return (
-                d2m, c_wrote + put.astype(jnp.int32), rmin,
-                jnp.min(rmin, axis=1, keepdims=True),
-            )
+                rmin = jnp.minimum(rmin, dbuf[:, r * rowsz:(r + 1) * rowsz])
+            return jnp.min(rmin, axis=1, keepdims=True)
 
-        def more(ec):
-            # drain until every seed's tile matches are extracted or its K
-            # output slots are full (full seeds keep retiring lanes, so the
-            # loop always terminates within TILE iterations)
-            _d2m, c_wrote, _rmin, mn = ec
-            return jnp.any((mn < radius) & (c_wrote < K))
+        def go():
+            # more to drain? (a [BLOCK, 1] vector carried through the
+            # while-loop fails Mosaic legalization — carry this SCALAR)
+            return jnp.any((dbuf_min() < radius) & (wscr[...] < K))
 
-        def drain(mw):
-            d2m_flat, c_wrote = mw
-            d2m = d2m_flat.reshape(BLOCK, 8, rowsz)
-            rmin = d2m[:, 0, :]
-            for r in range(1, 8):
-                rmin = jnp.minimum(rmin, d2m[:, r, :])
-            mn0 = jnp.min(rmin, axis=1, keepdims=True)
-            d2m, c_wrote, _, _ = jax.lax.while_loop(
-                more, extract, (d2m, c_wrote, rmin, mn0)
-            )
-            return d2m_flat, c_wrote
+        def extract(_go):
+            wave()
+            return go()
 
-        # extraction only when the tile has any match (common tiles don't)
-        _, wrote2 = jax.lax.cond(
-            jnp.sum(nrow) > 0,
-            drain,
-            lambda mw: mw,
-            (jnp.where(match, acc, INF), wrote),
-        )
-        return (cnt, wrote2)
+        # extraction only when some NEEDY seed (open slots) matched; full
+        # seeds' later matches are dropped uncounted either way, and with
+        # K << typical match counts most tiles skip the drain entirely
+        @pl.when(jnp.any((nrow > 0) & (wscr[...] < K)))
+        def _():
+            dbuf[...] = jnp.where(match, acc, INF)
+            for _ in range(NWAVE):
+                wave()
+            # rare residual: a needy seed with more matches in one
+            # row-group than NWAVE; drains until every needy seed's tile
+            # matches are extracted or its K slots are full (each wave
+            # retires >= 1 match per seed with matches left)
+            jax.lax.while_loop(lambda g: g, extract, go())
 
-    cnt, wrote = jax.lax.fori_loop(
-        0, total, step, (
-            jnp.zeros((BLOCK, 1), jnp.int32),
-            jnp.zeros((BLOCK, 1), jnp.int32),
-        ),
+        return cnt
+
+    cnt = jax.lax.fori_loop(
+        0, total, step,
+        jnp.zeros((BLOCK, 1), jnp.int32),
     )
     out_cnt_ref[:, pl.ds(0, 1)] = cnt
-    out_cnt_ref[:, pl.ds(1, 1)] = wrote
+    out_cnt_ref[:, pl.ds(1, 1)] = wscr[...]
 
 
 @partial(jax.jit, static_argnames=("K", "TILE", "radius", "dim",
@@ -256,6 +261,8 @@ def sweep_search(
         scratch_shapes=[
             pltpu.VMEM((2, 8, TILE), jnp.float32),
             pltpu.VMEM((2, 8, TILE // 8), jnp.int32),
+            pltpu.VMEM((block, TILE), jnp.float32),
+            pltpu.VMEM((block, 1), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
