@@ -29,7 +29,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--step-size", type=int, default=2,
                     help="Seeding step size in reads [2]")
     ap.add_argument("-t", "--num-threads", type=int, default=1,
-                    help="# threads for host-side work [1]")
+                    help="# threads for host-side work (quantization/"
+                         "emission in turbo, per-read chaining in exact) "
+                         "[1]")
     ap.add_argument("-r", "--ref", type=str, help="Reference file")
     ap.add_argument("-p", "--pore-model", type=str, help="Pore model file")
     ap.add_argument("-x", "--ref-index", type=str, help="Reference index file")
@@ -93,7 +95,8 @@ def make_config(args) -> "SigmapConfig":
             stop_mapping_mean_ratio=args.stop_mapping_mean,
             output_mapping_mean_ratio=args.stop_mapping_mean_output,
         ),
-        runtime=RuntimeConfig(read_batch=args.read_batch),
+        runtime=RuntimeConfig(read_batch=args.read_batch,
+                              num_threads=args.num_threads),
     )
 
 

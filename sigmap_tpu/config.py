@@ -106,6 +106,10 @@ class RuntimeConfig:
     """TPU execution knobs (no reference equivalent)."""
 
     read_batch: int = 128         # reads mapped concurrently per device step
+    # host-side worker threads (the reference's -t, sigmap.cc:1340-1341):
+    # parallelizes transport quantization + PAF emission in the turbo
+    # engine and per-read chaining/decisions in the exact engine
+    num_threads: int = 1
     max_events: int = 1024        # event slots per 4000-sample chunk
     max_features: int = 1024      # compressed feature slots per chunk
     # exact-engine radius-search tiling (see mapping/seeding.py); the turbo

@@ -304,23 +304,40 @@ class Mapper:
                 sids = np.zeros(0, np.int64)
             round_ms = (time.perf_counter() - t0) * 1000 / max(1, len(active))
 
+            # per-read chaining is independent across reads; -t fans it over
+            # a host thread pool (the native DP releases the GIL), the
+            # analogue of the reference's OpenMP taskloop (sigmap.cc:618-631)
+            def chain_one(i_st):
+                i, st = i_st
+                if counts[i] <= m.min_feature_length:
+                    return None
+                sel = (
+                    (all_read[sids] == i) if len(sids)
+                    else np.zeros(0, bool)
+                )
+                groups = self._anchors_by_group(
+                    widx[sel], dist[sel], all_qpos[sids[sel]]
+                ) if len(sids) and sel.any() else {}
+                return generate_chains(
+                    groups, st.chains, self.num_refs, m.search_radius,
+                    self.index.dim, self.cfg.chain,
+                )
+
+            nthreads = rt.num_threads
+            if nthreads > 1 and len(active) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(nthreads) as ex:
+                    new_chains = list(ex.map(chain_one, enumerate(active)))
+            else:
+                new_chains = [chain_one(x) for x in enumerate(active)]
+
             still_active: list[_ReadState] = []
             for i, st in enumerate(active):
                 st.mt_ms += round_ms
                 stop = False
-                if counts[i] > m.min_feature_length:
-                    sel = (
-                        (all_read[sids] == i)
-                        if len(sids)
-                        else np.zeros(0, bool)
-                    )
-                    groups = self._anchors_by_group(
-                        widx[sel], dist[sel], all_qpos[sids[sel]]
-                    ) if len(sids) and sel.any() else {}
-                    st.chains = generate_chains(
-                        groups, st.chains, self.num_refs, m.search_radius,
-                        self.index.dim, self.cfg.chain,
-                    )
+                if new_chains[i] is not None:
+                    st.chains = new_chains[i]
                     st.num_events += int(counts[i])
                     ch = st.chains
                     if len(ch) >= 2:

@@ -1,7 +1,7 @@
 """Turbo engine: device-resident streaming mapping rounds.
 
-The third-generation streaming driver (after the exact host path,
-mapping/driver.py, and the scatter-heavy fast path, mapping/fast_round.py).
+The production streaming driver (the exact host path lives in
+mapping/driver.py; two earlier device engines it superseded were deleted).
 Replaces Sigmap::StreamingMap's per-read OpenMP taskloop
 (/root/reference/src/sigmap.cc:549-880) with a design built around what a
 TPU v5e does fast and what the axon tunnel does NOT (bulk host<->device
@@ -29,8 +29,7 @@ transfers, host round-trips):
   sees only a [B] done vector per round, so the whole multi-chunk loop
   costs one tiny download per round.
 
-Semantic divergences from the exact path (all shared with or tighter than
-fast_round's documented ones): ring-band chaining instead of the full
+Semantic divergences from the exact path: ring-band chaining instead of the full
 5000 band; two-chain selection (best + best non-overlapping) instead of
 <=3 traceback chains, so the mean-score stop rule degenerates to
 (s1+s2)/2; carry-forward keeps the chain frontier (last RING anchor
@@ -70,8 +69,11 @@ class TurboParams:
     # seeds (RING/K seeds' worth of anchors) or chains fragment between
     # consecutive true-locus anchors.  Measured on the 2 Mb synthetic
     # workload: (K=16, RING=64) maps 49/64 reads, (K=8, RING=256) maps
-    # 64/64 — matching the exact engine — because slots keep the 8
-    # CLOSEST matches (ascending d^2) and the ring then covers ~32 seeds.
+    # 64/64 — matching the exact engine.  Under K-truncation the kept set
+    # is the sweep kernel's wave-drain sample (per-row-group minima in
+    # tile-scan order), biased toward small d^2 but NOT the strict
+    # closest-K, and slots are not d^2-sorted; no downstream code depends
+    # on slot order.
     S: int = 256          # seed slots per read per chunk
     K: int = 8            # match slots per seed (reference cap: 5000)
     RING: int = 256       # chaining band / carry size
@@ -208,18 +210,29 @@ def turbo_round_body(
     )
     s1 = sum_f[0]
     s2_raw = sum_f[1]
-    has2 = s2_raw > np.float32(chain_cfg.min_chaining_score)
-    s2 = jnp.where(has2, s2_raw, 0.0)
-    nc = 1 + has2.astype(jnp.int32)
+    s3_raw = sum_f[3]
     n1 = sum_i[5]
-    found = active & has_f & (s1 > 0)
+    # chain candidacy gates matching the reference's selection pipeline:
+    # an end anchor only becomes a chain if score >= min_chaining_score
+    # AND score > max/2 (spatial_index.cc:545-546); chain 1 itself needs
+    # s1 >= min_chaining_score or the read has NO chains at all.  (The /3
+    # primary break, spatial_index.cc:230-231, is implied: x > s1/2 >
+    # s1/3.)  This is what makes nc match the reference's chains.size()
+    # and mapq hit 60 when the runner-up is weak.
+    min_sc = np.float32(chain_cfg.min_chaining_score)
+    found = active & has_f & (s1 >= min_sc)
+    has2 = found & (s2_raw >= min_sc) & (2.0 * s2_raw > s1)
+    has3 = has2 & (s3_raw >= min_sc) & (2.0 * s3_raw > s1)
+    s2 = jnp.where(has2, s2_raw, 0.0)
+    s3 = jnp.where(has3, s3_raw, 0.0)
+    nc = 1 + has2.astype(jnp.int32) + has3.astype(jnp.int32)
 
     # ---- 6. stop rules (sigmap.cc:667-688) --------------------------------
-    two = found & (nc >= 2) & (s2 > 0)
+    sm = (s1 + s2 + s3) / nc.astype(jnp.float32)
     stop = (
-        (two & (s1 / jnp.maximum(s2, 1e-30) >= m.stop_mapping_ratio))
-        | (two & (s1 >= m.stop_mapping_mean_ratio * (s1 + s2) / 2))
-        | (found & (nc == 1) & (n1 >= m.stop_mapping_min_num_anchors))
+        (has2 & (s1 / jnp.maximum(s2, 1e-30) >= m.stop_mapping_ratio))
+        | (has2 & (s1 >= m.stop_mapping_mean_ratio * sm))
+        | (found & ~has2 & (n1 >= m.stop_mapping_min_num_anchors))
     )
 
     # ---- 7. best-so-far summary ------------------------------------------
@@ -333,45 +346,69 @@ def batch_features(
     )
 
 
-def quantize_batch(batch, B, NC, Cs, max_chunks):
+def quantize_batch(batch, B, NC, Cs, max_chunks, threads: int = 1):
     """Host-side transport quantization: pA f32 -> uint16 + per-read affine.
 
     When the read's pA stream is DAC-derived (pa = (raw + offset) * scale,
     io/signals.py dac_to_pa), the inverse recovers the exact raw integers
     and device dequantization is bit-identical to the host pA values.
     Otherwise a per-read min/max affine is used (error <= (max-min)/65000,
-    ~65x below one DAC step)."""
+    ~65x below one DAC step).
+
+    threads > 1 fans the per-read loop over a host thread pool (rows are
+    disjoint) — the turbo-side consumer of the reference's -t flag
+    (sigmap.cc:1340-1341)."""
     n_full = np.zeros(B, np.int32)
     q = np.zeros((B, NC, Cs), np.uint16)
     qoff = np.zeros(B, np.float32)
     qscale = np.ones(B, np.float32)
+    if threads > 1 and len(batch) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def work(lo_hi):
+            lo, hi = lo_hi
+            for j in range(lo, hi):
+                _quantize_one(batch[j], j, q, qoff, qscale, n_full, NC, Cs,
+                              max_chunks)
+
+        n = len(batch)
+        step = -(-n // threads)
+        spans = [(lo, min(lo + step, n)) for lo in range(0, n, step)]
+        with ThreadPoolExecutor(threads) as ex:
+            list(ex.map(work, spans))
+        return q, qoff, qscale, n_full
     for i, s in enumerate(batch):
-        n_full[i] = min(s.length // Cs, max_chunks)
-        L = min(s.length, NC * Cs)
-        pa = s.pa[:L].astype(np.float32)
-        ku = None
-        scale = np.float32(s.range / s.digitisation) if s.digitisation else 0
-        off = np.float32(s.offset)
-        if scale > 0 and L:
-            k = np.rint(pa / scale - off)
-            if 0 <= k.min(initial=0) and k.max(initial=0) <= 65535:
-                cand = k.astype(np.uint16)
-                if np.array_equal(
-                    (cand.astype(np.float32) + off) * scale, pa
-                ):
-                    ku = cand
-        if ku is None and L:
-            lo = np.float32(pa.min())
-            hi = np.float32(pa.max())
-            scale = np.float32(max(hi - lo, 1e-6) / 65000.0)
-            off = np.float32(lo / scale)
-            ku = np.clip(np.rint(pa / scale - off), 0, 65535).astype(
-                np.uint16
-            )
-        if L:
-            q[i].reshape(-1)[:L] = ku
-        qoff[i] = off
-        qscale[i] = scale
+        _quantize_one(s, i, q, qoff, qscale, n_full, NC, Cs, max_chunks)
+    return q, qoff, qscale, n_full
+
+
+def _quantize_one(s, i, q, qoff, qscale, n_full, NC, Cs, max_chunks):
+    n_full[i] = min(s.length // Cs, max_chunks)
+    L = min(s.length, NC * Cs)
+    pa = s.pa[:L].astype(np.float32)
+    ku = None
+    scale = np.float32(s.range / s.digitisation) if s.digitisation else 0
+    off = np.float32(s.offset)
+    if scale > 0 and L:
+        k = np.rint(pa / scale - off)
+        if 0 <= k.min(initial=0) and k.max(initial=0) <= 65535:
+            cand = k.astype(np.uint16)
+            if np.array_equal(
+                (cand.astype(np.float32) + off) * scale, pa
+            ):
+                ku = cand
+    if ku is None and L:
+        lo = np.float32(pa.min())
+        hi = np.float32(pa.max())
+        scale = np.float32(max(hi - lo, 1e-6) / 65000.0)
+        off = np.float32(lo / scale)
+        ku = np.clip(np.rint(pa / scale - off), 0, 65535).astype(
+            np.uint16
+        )
+    if L:
+        q[i].reshape(-1)[:L] = ku
+    qoff[i] = off
+    qscale[i] = scale
     return q, qoff, qscale, n_full
 
 
@@ -465,7 +502,8 @@ class TurboMapper:
             if NC >= nc_raw or NC >= m.max_num_chunks:
                 break
         q, qoff, qscale, n_full = quantize_batch(
-            batch, B, NC, Cs, m.max_num_chunks
+            batch, B, NC, Cs, m.max_num_chunks,
+            threads=self.cfg.runtime.num_threads,
         )
         qd, qoff_d, qscale_d, n_full_d = self._place_batch(
             q, qoff, qscale, n_full
@@ -613,20 +651,27 @@ class TurboMapper:
                 chunk_idx -= 1
         ci = chunk_idx + 1
         sl = s.length
-        s1, s2, sumd1 = float(sf[0]), float(sf[1]), float(sf[2])
+        s1, s2_raw, sumd1, s3_raw = (float(x) for x in sf[:4])
         g1, t_start, t_end, q_start, q_end, n1, nc, _ = (int(x) for x in si)
-        has2 = s2 > self.cfg.chain.min_chaining_score
-        s2 = s2 if has2 else 0.0
-        found = s1 > 0
+        # same chain-candidacy gates as the round body (reference chain
+        # selection, spatial_index.cc:230-247,545-546)
+        min_sc = self.cfg.chain.min_chaining_score
+        found = s1 >= min_sc
+        has2 = found and s2_raw >= min_sc and 2.0 * s2_raw > s1
+        has3 = has2 and s3_raw >= min_sc and 2.0 * s3_raw > s1
+        s2 = s2_raw if has2 else 0.0
+        s3 = s3_raw if has3 else 0.0
+        nc = 1 + int(has2) + int(has3) if found else 0
+        sm = (s1 + s2 + s3) / nc if nc else 0.0
         scale = 0.0
         if num_events > 0:
             scale = (ci * m.chunk_size / num_events) / (
                 m.sample_rate / m.bp_per_sec
             )
         out_ok = found and (
-            (nc >= 2 and s2 > 0 and (
+            (has2 and (
                 s1 / s2 >= m.output_mapping_ratio
-                or s1 >= m.output_mapping_mean_ratio * (s1 + s2) / 2
+                or s1 >= m.output_mapping_mean_ratio * sm
             ))
             or (nc == 1 and n1 >= m.output_mapping_min_num_anchors)
         )
@@ -634,7 +679,7 @@ class TurboMapper:
         if found:
             summ = ChainsSummary(
                 num_anchors=n1, num_chains=nc, s1=s1, s2=s2,
-                sm=(s1 + s2) / nc if nc else s1,
+                sm=sm,
                 ad=sumd1 / max(1, n1),
                 at=(t_end - t_start) / max(1, n1),
                 aq=(q_end - q_start) / max(1, n1),

@@ -203,31 +203,91 @@ def _kernel(
     # spatial_index.cc:233-247; interval overlap — not just the endpoint —
     # is what excludes sub/extension chains sharing chain 1's anchors, the
     # device stand-in for traceback's used-anchor score subtraction,
-    # spatial_index.cc:165-220)
-    def s2_block(nrows):
-        def body(blk, acc):
-            i0 = blk * nrows
-            s = scores_ref[pl.ds(i0, nrows), :]
-            g = a_g[pl.ds(i0, nrows), :]
-            t = a_t[pl.ds(i0, nrows), :]
-            stt = stt_ref[pl.ds(i0, nrows), :]
-            same_ref = (g >> 1) == (g1 >> 1)
-            overlap = (jnp.maximum(stt, stt1) <= jnp.minimum(t, te1))
-            cand = jnp.where(same_ref & overlap, NEG, s)
-            return jnp.maximum(acc, jnp.max(cand, axis=0, keepdims=True))
-
-        return body
+    # spatial_index.cc:165-220).  A third pass then finds chain 3 (the
+    # reference keeps up to num_best_chains=3, spatial_index.cc:289):
+    # best score among anchors overlapping NEITHER chain 1 NOR chain 2.
+    # Primary-chain candidacy gates (score >= min_chaining_score, score >
+    # max/2 traceback gate, /3 primary break, spatial_index.cc:230-247,
+    # 545-546) are applied by the caller on the returned raw maxima.
 
     # A = CARRY + n*KB; scan in the largest block size that tiles A evenly
     SB = KB if (CARRY % KB == 0 and A % KB == 0) else 1
+
+    def masked_max_block(blk, acc):
+        # running max of scores excluded from chains so far (mask in acc[1:])
+        i0 = blk * SB
+        s = scores_ref[pl.ds(i0, SB), :]
+        g = a_g[pl.ds(i0, SB), :]
+        t = a_t[pl.ds(i0, SB), :]
+        stt = stt_ref[pl.ds(i0, SB), :]
+        excl = ((g >> 1) == (g1 >> 1)) & (
+            jnp.maximum(stt, stt1) <= jnp.minimum(t, te1)
+        )
+        cand = jnp.where(excl, NEG, s)
+        return jnp.maximum(acc, jnp.max(cand, axis=0, keepdims=True))
+
     s2 = jax.lax.fori_loop(
-        0, A // SB, s2_block(SB), jnp.full((1, LANES), NEG, jnp.float32)
+        0, A // SB, masked_max_block, jnp.full((1, LANES), NEG, jnp.float32)
+    )
+
+    # locate chain 2's end state (first row matching s2 under the same
+    # exclusion mask) to get its interval for the s3 pass
+    def find2_block(blk, st2):
+        g2, stt2, te2, found2 = st2
+        i0 = blk * SB
+        s = scores_ref[pl.ds(i0, SB), :]
+        g = a_g[pl.ds(i0, SB), :]
+        t = a_t[pl.ds(i0, SB), :]
+        stt = stt_ref[pl.ds(i0, SB), :]
+        excl = ((g >> 1) == (g1 >> 1)) & (
+            jnp.maximum(stt, stt1) <= jnp.minimum(t, te1)
+        )
+        hit = (~excl) & (s == s2) & (s > NEG * 0.5)
+        rio = jax.lax.broadcasted_iota(jnp.int32, (SB, LANES), 0)
+        first = jnp.min(jnp.where(hit, rio, SB), axis=0, keepdims=True)
+        sel = rio == first
+        hv = jnp.any(hit, axis=0, keepdims=True) & ~found2
+
+        def pick(arr):
+            return jnp.sum(jnp.where(sel, arr, 0), axis=0, keepdims=True)
+
+        return (
+            jnp.where(hv, pick(g), g2),
+            jnp.where(hv, pick(stt), stt2),
+            jnp.where(hv, pick(t), te2),
+            found2 | hv,
+        )
+
+    zi = jnp.zeros((1, LANES), jnp.int32)
+    g2, stt2, te2, found2 = jax.lax.fori_loop(
+        0, A // SB, find2_block,
+        (jnp.full((1, LANES), -1, jnp.int32), zi, zi,
+         jnp.zeros((1, LANES), jnp.bool_)),
+    )
+
+    def s3_block(blk, acc):
+        i0 = blk * SB
+        s = scores_ref[pl.ds(i0, SB), :]
+        g = a_g[pl.ds(i0, SB), :]
+        t = a_t[pl.ds(i0, SB), :]
+        stt = stt_ref[pl.ds(i0, SB), :]
+        excl1 = ((g >> 1) == (g1 >> 1)) & (
+            jnp.maximum(stt, stt1) <= jnp.minimum(t, te1)
+        )
+        excl2 = found2 & ((g >> 1) == (g2 >> 1)) & (
+            jnp.maximum(stt, stt2) <= jnp.minimum(t, te2)
+        )
+        cand = jnp.where(excl1 | excl2, NEG, s)
+        return jnp.maximum(acc, jnp.max(cand, axis=0, keepdims=True))
+
+    s3 = jax.lax.fori_loop(
+        0, A // SB, s3_block, jnp.full((1, LANES), NEG, jnp.float32)
     )
 
     sum_f[pl.ds(0, 1), :] = s1
     sum_f[pl.ds(1, 1), :] = s2
     sum_f[pl.ds(2, 1), :] = sumd1
-    sum_f[pl.ds(3, 1), :] = jnp.zeros((1, LANES), jnp.float32)
+    sum_f[pl.ds(3, 1), :] = s3
     sum_i[pl.ds(0, 1), :] = g1
     sum_i[pl.ds(1, 1), :] = stt1
     sum_i[pl.ds(2, 1), :] = te1
@@ -272,8 +332,12 @@ def chain_fused(
     """Returns (sum_f [8, B] f32, sum_i [8, B] i32, carry-out tuple of 8
     [ring, B] arrays (t, q, g, score, start_t, start_q, n, sumd)).
 
-    sum_f rows: 0 s1, 1 s2, 2 sumd1.  sum_i rows: 0 g1, 1 t_start, 2 t_end,
-    3 q_start, 4 q_end, 5 n1.
+    sum_f rows: 0 s1, 1 s2 (best non-overlapping), 2 sumd1, 3 s3 (best
+    overlapping neither chain 1 nor chain 2).  sum_i rows: 0 g1, 1 t_start,
+    2 t_end, 3 q_start, 4 q_end, 5 n1.  s2/s3 are RAW maxima; the caller
+    applies the reference's primary-chain candidacy gates
+    (min_chaining_score, the traceback score > max/2 gate and the /3
+    primary break, spatial_index.cc:230-247,545-546).
 
     kb: rows processed per DP step.  Anchor rows arrive as K-slot runs per
     seed (same qpos), so kb = K is legal (same-seed rows can't chain onto
@@ -396,9 +460,34 @@ def chain_fused_ref(a_t, a_q, a_d, a_g, c_score, c_stt, c_stq, c_n, c_sumd,
                     continue
                 s2 = max(s2, s[0])
             sum_f[1, b] = s2
+            # chain 2 = FIRST state (row order) achieving s2 under the
+            # chain-1 exclusion mask; chain 3 = best state overlapping
+            # neither (kernel's find2/s3 passes)
+            c2 = None
+            if s2 > NEG * 0.5:
+                for s in live:
+                    if (s[3] // 2 == g1 // 2
+                            and max(s[4], stt) <= min(s[1], t1)):
+                        continue
+                    if s[0] == s2:
+                        c2 = s
+                        break
+            s3 = NEG
+            for s in live:
+                if (s[3] // 2 == g1 // 2
+                        and max(s[4], stt) <= min(s[1], t1)):
+                    continue
+                if c2 is not None and (
+                    s[3] // 2 == c2[3] // 2
+                    and max(s[4], c2[4]) <= min(s[1], c2[1])
+                ):
+                    continue
+                s3 = max(s3, s[0])
+            sum_f[3, b] = s3
         else:
             sum_f[0, b] = NEG
             sum_f[1, b] = NEG
+            sum_f[3, b] = NEG
             sum_i[0, b] = -1
         tail = live[-ring:]
         for k, s in enumerate(tail):

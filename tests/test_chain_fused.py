@@ -81,6 +81,7 @@ def test_chain_fused_matches_ref(seed, ring, kb):
     np.testing.assert_allclose(sum_f[0], rf[0], rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(sum_f[1], rf[1], rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(sum_f[2], rf[2], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(sum_f[3], rf[3], rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(sum_i[:6], ri[:6])
     # carry-out ring state (t q g score stt stq n sumd order differs:
     # kernel returns (t, q, g, score, stt, stq, n, sumd))

@@ -115,6 +115,39 @@ def test_blow5_roundtrip(tmp_path, rec_comp, sig_comp, pore6):
         np.testing.assert_allclose(s.pa, expect, atol=1e-4)
 
 
+def test_blow5_frozen_byte_fixture(tmp_path):
+    """Decode the hand-assembled tests/golden/minimal.blow5 (bytes written
+    longhand from the SLOW5 spec constants in make_blow5_fixture.py,
+    independent of io/slow5.py), its ASCII .slow5 twin, and assert our own
+    writer reproduces the frozen bytes exactly."""
+    import os
+
+    here = os.path.join(os.path.dirname(__file__), "golden")
+    blow5_path = os.path.join(here, "minimal.blow5")
+    slow5_path = os.path.join(here, "minimal.slow5")
+    raw = np.array([10, 12, 9, 9, 500], np.int16)
+    expect = dac_to_pa(raw, 8192.0, 1500.0, 10.0)
+
+    loaded_b = read_blow5(blow5_path)
+    assert len(loaded_b) == 1 and loaded_b[0].read_id == "r001"
+    np.testing.assert_allclose(loaded_b[0].pa, expect, rtol=1e-6)
+
+    loaded_a = read_slow5_ascii(slow5_path)
+    assert len(loaded_a) == 1 and loaded_a[0].read_id == "r001"
+    np.testing.assert_array_equal(loaded_a[0].pa, loaded_b[0].pa)
+
+    # writer regression anchor: byte-for-byte equality with the fixture
+    out = str(tmp_path / "re.blow5")
+    write_blow5(
+        out,
+        [{"read_id": "r001", "raw": raw, "digitisation": 8192.0,
+          "range": 1500.0, "offset": 10.0, "sampling_rate": 4000.0}],
+        rec_comp=0, sig_comp=1,
+    )
+    with open(out, "rb") as f_new, open(blow5_path, "rb") as f_ref:
+        assert f_new.read() == f_ref.read()
+
+
 def test_slow5_ascii_roundtrip(tmp_path, pore6):
     genome = random_genome(20_000, seed=3)
     reads = simulate_reads(pore6, genome, 2, seed=6, read_bases=150)

@@ -149,3 +149,42 @@ def test_streaming_early_stop_happens(setup):
                 cis.append(int(t.split(":")[2]))
     total_chunks = sum(s.length // 4000 for s in signals)
     assert sum(cis) < total_chunks, "no early stopping happened"
+
+
+def test_num_threads_parity(setup):
+    """-t N (RuntimeConfig.num_threads) must not change any output: the
+    exact engine's threaded per-read chaining and turbo's threaded
+    quantization are pure parallelizations (sigmap.cc:1340-1341)."""
+    from sigmap_tpu.mapping.turbo import quantize_batch
+
+    idx, reads, signals = setup
+    c1 = dataclasses.replace(
+        TEST_CFG, runtime=dataclasses.replace(
+            TEST_CFG.runtime, num_threads=1)
+    )
+    c3 = dataclasses.replace(
+        TEST_CFG, runtime=dataclasses.replace(
+            TEST_CFG.runtime, num_threads=3)
+    )
+    r1 = Mapper(idx, c1).streaming_map(signals)
+    r3 = Mapper(idx, c3).streaming_map(signals)
+    def lines(rs):
+        from sigmap_tpu.io.paf import mapped_line, unmapped_line
+
+        out = []
+        for r in rs:
+            ln = (
+                mapped_line(r, idx.ref_names[r.ref_index],
+                            idx.ref_lengths[r.ref_index])
+                if r.is_mapped else unmapped_line(r)
+            )
+            # mt:f is wall time — the one legitimately thread-dependent field
+            out.append("\t".join(
+                f for f in ln.split("\t") if not f.startswith("mt:f:")
+            ))
+        return out
+    assert lines(r1) == lines(r3)
+    q1 = quantize_batch(signals, len(signals), 4, 4000, 30, threads=1)
+    q3 = quantize_batch(signals, len(signals), 4, 4000, 30, threads=3)
+    for a, b in zip(q1, q3):
+        np.testing.assert_array_equal(a, b)
