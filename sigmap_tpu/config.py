@@ -119,6 +119,10 @@ class RuntimeConfig:
     surv_per_tile: int = 262144   # stage-2 survivors per tile
     matches_per_tile: int = 32768
     autotune_search: bool = True  # size candidate budgets from the index
+    # on-disk cache dir for the turbo sweep layout (None = rebuild each
+    # run; ~15 s host work at 12 Mb).  No reference equivalent (the
+    # reference persists .pt/.si instead, spatial_index.cc:105-130).
+    sweep_cache_dir: str | None = None
 
 
 @dataclass(frozen=True)

@@ -102,6 +102,70 @@ class SweepIndex:
     def bd(self) -> int:
         return len(self.radixes)
 
+    def save(self, path: str) -> None:
+        """Persist to an npz (the sweep analogue of SignalIndex.save; the
+        reference persists its search structure as .pt/.si,
+        spatial_index.cc:105-130)."""
+        f = open(path, "wb") if not hasattr(path, "write") else path
+        np.savez(
+            f, tiles=self.tiles, meta=self.meta, cum=self.cum,
+            rot=self.rot, mu=self.mu, origin=self.origin,
+            radixes=np.asarray(self.radixes, np.int64),
+            scalars=np.asarray(
+                [self.span, self.n_windows, self.tile, self.dim], np.int64
+            ),
+            fscalars=np.asarray([self.cell_width, self.radius], np.float64),
+        )
+        if f is not path:
+            f.close()
+
+    @staticmethod
+    def load(path: str) -> "SweepIndex":
+        z = np.load(path)
+        sc = z["scalars"]
+        fs = z["fscalars"]
+        return SweepIndex(
+            tiles=z["tiles"], meta=z["meta"], cum=z["cum"], rot=z["rot"],
+            mu=z["mu"], origin=z["origin"],
+            radixes=tuple(int(x) for x in z["radixes"]),
+            span=int(sc[0]), n_windows=int(sc[1]), tile=int(sc[2]),
+            dim=int(sc[3]), cell_width=float(fs[0]), radius=float(fs[1]),
+        )
+
+    @staticmethod
+    def build_cached(idx: SignalIndex, radius: float, tile: int = 1024,
+                     span: int = SWEEP_SPAN,
+                     cache_dir: str | None = None) -> "SweepIndex":
+        """build() with an optional on-disk cache.
+
+        The key hashes the index's window stream (cheap strided sample +
+        shape) and the grid parameters, so repeated runs on the same index
+        (bench re-runs, warm-cache subprocesses) skip the ~15 s rebuild."""
+        if not cache_dir:
+            return SweepIndex.build(idx, radius, tile=tile, span=span)
+        import hashlib
+        import os
+
+        v = idx.values
+        probe = v[:: max(1, len(v) // 65536)].tobytes()
+        h = hashlib.sha1()
+        h.update(probe)
+        h.update(np.asarray(
+            [idx.n_windows, idx.dim, tile, span], np.int64).tobytes())
+        h.update(np.float64(radius).tobytes())
+        path = os.path.join(cache_dir, f"sweep_{h.hexdigest()[:16]}.npz")
+        if os.path.exists(path):
+            try:
+                return SweepIndex.load(path)
+            except Exception:  # noqa: BLE001 - corrupt cache: rebuild
+                pass
+        sw = SweepIndex.build(idx, radius, tile=tile, span=span)
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = path + ".tmp"
+        sw.save(tmp)
+        os.replace(tmp, path)
+        return sw
+
     @staticmethod
     def build(idx: SignalIndex, radius: float, tile: int = 1024,
               span: int = SWEEP_SPAN) -> "SweepIndex":
@@ -128,11 +192,14 @@ class SweepIndex:
                 f"(>= 2^{META_POS_BITS}); shard the index first"
             )
         # windows as [nw, dim] strided view over the flat value array
-        Wv = np.lib.stride_tricks.sliding_window_view(
+        Wview = np.lib.stride_tricks.sliding_window_view(
             idx.values, dim
-        )[:nw].astype(np.float64)
-        # PCA basis from a sample (covariance is 6x6; eigh exact)
-        samp = Wv[:: max(1, nw // 500_000)]
+        )[:nw]
+        # PCA basis from a SAMPLE in f64 (covariance is 6x6; eigh exact);
+        # the full-array rotation then runs in f32 accumulated from dim
+        # shifted views — no [nw, dim] f64 materialization (the f64 copy +
+        # matmul dominated index-load time at 12 Mb: ~35 s on this host)
+        samp = Wview[:: max(1, nw // 300_000)].astype(np.float64)
         mu = samp.mean(axis=0) if len(samp) else np.zeros(dim)
         if len(samp) > dim:
             cov = np.cov((samp - mu).T)
@@ -141,7 +208,12 @@ class SweepIndex:
             rot = evecs[:, order]
         else:
             rot = np.eye(dim)
-        WR = ((Wv - mu) @ rot).astype(np.float32)          # [nw, dim]
+        rot_f = rot.astype(np.float32)
+        vals = idx.values.astype(np.float32, copy=False)
+        WR = np.empty((nw, dim), np.float32)               # [nw, dim]
+        WR[:] = -(mu @ rot).astype(np.float32)[None, :]
+        for d in range(dim):
+            WR += vals[d : d + nw, None] * rot_f[d][None, :]
         origin = (
             WR[:, :bd].min(axis=0) if nw else np.zeros(bd, np.float32)
         )

@@ -82,6 +82,13 @@ class TurboParams:
     max_features: int = 1024
     block: int = 128      # sweep seed-block
     peaks_impl: str = "pallas"   # "scan" on CPU
+    # Capacity policy: per-read overflow (matches past K or seeds past S)
+    # is tracked on device; reads that finish UNMAPPED with overflow are
+    # re-mapped through the exact host engine (native k-d tree + full
+    # reference chaining, the 5000-anchor cap of spatial_index.cc:290) on
+    # a thread pool overlapping device rounds — so K/S truncation can
+    # never silently unmap a read the reference would map.
+    rescue: bool = True
 
 
 def build_seeds(feats, counts, offsets, S: int, step: int, dim: int,
@@ -142,7 +149,7 @@ def anchors_qpos_major(m_meta, m_d2, wrote, qpos, B: int, S: int, K: int):
 
 
 def turbo_round_body(
-    tiles, meta, cum, rot, mu, origin, feats_all, counts_all, r, n_full,
+    tiles, meta, cum, rot, mu, origin, feats, counts_r, n_full,
     chunk_idx, done, stopped, offsets, carry, rb_f, rb_i,
     p: TurboParams, step: int, radius: float, dim: int,
     geom: tuple,
@@ -152,22 +159,21 @@ def turbo_round_body(
     """One streaming round (traceable body shared by the single-chip jit
     and the shard_map multi-chip path).
 
-    feats_all/counts_all are the batch's PRECOMPUTED per-chunk feature
-    signals ([B, NC, F] / [B, NC], from batch_features); r is this round's
-    shared chunk index (all active reads advance in lockstep, so round r
-    consumes chunk slice r; rows of inactive reads are ignored via the
-    active mask).
+    feats/counts_r are THIS round's chunk-feature slice ([B, F] / [B]),
+    cut from the batch's precomputed [B, NC, F] tensor by the driver
+    (slice_chunk) so the round's compiled shapes are NC-independent: one
+    turbo_round compile serves every chunk-count bucket.  All active
+    reads advance in lockstep, so round r consumes chunk slice r; rows of
+    inactive reads are ignored via the active mask.
 
     merge_matches: optional callable (m_meta [Q,K], m_d2, cnt, wrote) ->
     same shapes, merging per-index-shard results across a mesh axis."""
-    B = feats_all.shape[0]
+    B = feats.shape[0]
     S, K = p.S, p.K
 
     active = ~done & (chunk_idx < n_full) & (chunk_idx < m.max_num_chunks)
 
     # ---- 1. this round's precomputed chunk features ----------------------
-    feats = jax.lax.dynamic_index_in_dim(feats_all, r, 1, keepdims=False)
-    counts_r = jax.lax.dynamic_index_in_dim(counts_all, r, 1, keepdims=False)
     counts = jnp.where(active, counts_r, 0)
     has_f = counts > m.min_feature_length
 
@@ -239,9 +245,18 @@ def turbo_round_body(
     upd = found & (s1 > rb_f[0])
     rb_f = jnp.where(upd[None, :], sum_f[:4], rb_f)
     rb_i_new = jnp.concatenate(
-        [sum_i[:6], nc[None, :], jnp.zeros((1, B), jnp.int32)], axis=0
+        [sum_i[:6], nc[None, :], rb_i[7:8]], axis=0
     )
     rb_i = jnp.where(upd[None, :], rb_i_new, rb_i)
+    # row 7 accumulates PER-READ capacity overflow (per-seed matches past
+    # K, or seed positions past S): the driver routes unmapped+overflow
+    # reads through the exact engine (rescue), so the reference's 5000
+    # cap (spatial_index.cc:290) is never silently under-delivered
+    ovf_read = active & (
+        (cnt.reshape(B, S) > K).any(axis=1)
+        | (jnp.where(has_f, (counts - dim) // step, 0) > S)
+    )
+    rb_i = rb_i.at[7].set(rb_i[7] | ovf_read.astype(jnp.int32))
 
     new_offsets = offsets + jnp.where(active & has_f, counts, 0)
     exhausted = active & (
@@ -278,18 +293,17 @@ def turbo_round(
     rot: jax.Array,        # [dim, dim] f32 PCA rotation (index/sweep.py)
     mu: jax.Array,         # [dim] f32 rotation center
     origin: jax.Array,     # [bd] f32 grid origin
-    feats_all: jax.Array,  # [B, NC, F] f32 precomputed chunk features
-    counts_all: jax.Array,  # [B, NC] i32 feature counts per chunk
-    r: jax.Array,          # scalar i32: this round's shared chunk index
+    feats: jax.Array,      # [B, F] f32 THIS round's chunk features
+    counts_r: jax.Array,   # [B] i32 THIS round's feature counts
     n_full: jax.Array,     # [B] i32 full chunks per read
     chunk_idx: jax.Array,  # [B] i32
     done: jax.Array,       # [B] bool
     stopped: jax.Array,    # [B] bool (stop rule fired)
     offsets: jax.Array,    # [B] i32 accumulated feature counts
     carry: tuple,          # 8 x [RING, B] (t, q, g, score, stt, stq, n, sumd)
-    rb_f: jax.Array,       # [4, B] best-so-far f32 (s1, s2, sumd1, -)
+    rb_f: jax.Array,       # [4, B] best-so-far f32 (s1, s2, sumd1, s3)
     rb_i: jax.Array,       # [8, B] best-so-far i32 (g1, tstart, tend,
-                           #   qstart, qend, n1, nc, -)
+                           #   qstart, qend, n1, nc, ovf)
     p: TurboParams,
     step: int,
     radius: float,
@@ -300,9 +314,47 @@ def turbo_round(
     interpret: bool = False,
 ):
     return turbo_round_body(
-        tiles, meta, cum, rot, mu, origin, feats_all, counts_all, r,
+        tiles, meta, cum, rot, mu, origin, feats, counts_r,
         n_full, chunk_idx, done, stopped, offsets, carry, rb_f, rb_i,
         p, step, radius, dim, geom, chain_cfg, m, interpret,
+    )
+
+
+@jax.jit
+def slice_chunk(feats_all: jax.Array, counts_all: jax.Array, r):
+    """Cut round r's [B, F]/[B] slice out of the precomputed [B, NC, F]
+    feature tensor (the only NC-shaped compile in the round loop)."""
+    return (
+        jax.lax.dynamic_index_in_dim(feats_all, r, 1, keepdims=False),
+        jax.lax.dynamic_index_in_dim(counts_all, r, 1, keepdims=False),
+    )
+
+
+# Fixed event rows per device call: the peak/compress Pallas kernels bake
+# their grid count into the Mosaic module, so varying row counts (every
+# B x NC combination) each triggered a fresh remote kernel compile.  All
+# production shapes now launch identical [EVENT_ROWS, Cs] blocks.
+EVENT_ROWS = 1024
+
+
+@partial(
+    jax.jit,
+    static_argnames=("p", "ed_cfg", "compress_delta"),
+)
+def _features_rows(
+    q_rows: jax.Array,     # [R, Cs] uint16
+    qoff_r: jax.Array,     # [R] f32
+    qscale_r: jax.Array,   # [R] f32
+    clen: jax.Array,       # [R] i32
+    p: TurboParams,
+    ed_cfg: EventDetectorConfig,
+    compress_delta: float,
+):
+    pa = (q_rows.astype(jnp.float32) + qoff_r[:, None]) * qscale_r[:, None]
+    return batch_generate_features(
+        pa, clen, cfg=ed_cfg, max_events=p.max_events,
+        max_features=p.max_features, compress_delta=compress_delta,
+        peaks_impl=p.peaks_impl,
     )
 
 
@@ -319,7 +371,10 @@ def batch_features(
     ed_cfg: EventDetectorConfig,
     compress_delta: float,
 ):
-    """Event-detect + compress ALL of a batch's chunks in one call.
+    """Event-detect + compress ALL of a batch's chunks, in fixed-shape
+    row-blocks of EVENT_ROWS chunk rows (the trace-time block loop keeps
+    one outer jit — multi-host safe — while every Pallas launch inside
+    has identical shapes, so the kernel compile is shared across B/NC).
 
     pa = (q + qoff) * qscale reproduces io.signals.dac_to_pa bit-for-bit
     when the read came from DAC samples (quantize_batch recovers the raw
@@ -329,20 +384,38 @@ def batch_features(
     it runs once per batch, fully parallel over B*NC rows, and is far
     cheaper than the per-round sweep it used to serialize with."""
     B, NC, Cs = q.shape
-    pa = (
-        q.astype(jnp.float32) + qoff[:, None, None]
-    ) * qscale[:, None, None]
+    rows = B * NC
     chunk_ok = jnp.arange(NC)[None, :] < n_full[:, None]
-    clen = jnp.where(chunk_ok, Cs, 0).astype(jnp.int32).reshape(B * NC)
-    feats, counts = batch_generate_features(
-        pa.reshape(B * NC, Cs), clen, cfg=ed_cfg, max_events=p.max_events,
-        max_features=p.max_features, compress_delta=compress_delta,
-        peaks_impl=p.peaks_impl,
-    )
+    clen_all = jnp.where(chunk_ok, Cs, 0).astype(jnp.int32).reshape(rows)
+    q2 = q.reshape(rows, Cs)
+    qoff_r = jnp.broadcast_to(qoff[:, None], (B, NC)).reshape(rows)
+    qscale_r = jnp.broadcast_to(qscale[:, None], (B, NC)).reshape(rows)
+    # production rows are >= EVENT_ROWS multiples; tiny test batches keep
+    # their own (cheap-to-compile) block size instead of padding 64x
+    RB = EVENT_ROWS if rows >= EVENT_ROWS else max(8, -(-rows // 8) * 8)
+    rp = -(-rows // RB) * RB
+    if rp != rows:
+        q2 = jnp.pad(q2, ((0, rp - rows), (0, 0)))
+        qoff_r = jnp.pad(qoff_r, (0, rp - rows))
+        qscale_r = jnp.pad(qscale_r, (0, rp - rows), constant_values=1.0)
+        clen_all = jnp.pad(clen_all, (0, rp - rows))
+    fparts, cparts = [], []
+    for r0 in range(0, rp, RB):
+        f, c = _features_rows(
+            jax.lax.slice_in_dim(q2, r0, r0 + RB),
+            jax.lax.slice_in_dim(qoff_r, r0, r0 + RB),
+            jax.lax.slice_in_dim(qscale_r, r0, r0 + RB),
+            jax.lax.slice_in_dim(clen_all, r0, r0 + RB),
+            p=p, ed_cfg=ed_cfg, compress_delta=compress_delta,
+        )
+        fparts.append(f)
+        cparts.append(c)
+    feats = fparts[0] if len(fparts) == 1 else jnp.concatenate(fparts)
+    counts = cparts[0] if len(cparts) == 1 else jnp.concatenate(cparts)
     F = feats.shape[-1]
     return (
-        feats.reshape(B, NC, F),
-        counts.reshape(B, NC).astype(jnp.int32),
+        feats[:rows].reshape(B, NC, F),
+        counts[:rows].reshape(B, NC).astype(jnp.int32),
     )
 
 
@@ -435,8 +508,10 @@ class TurboMapper:
             on_cpu = jax.default_backend() == "cpu"
             params = TurboParams(peaks_impl="scan" if on_cpu else "pallas")
         self.p = params
-        sw = SweepIndex.build(index, config.mapping.search_radius,
-                              tile=params.TILE)
+        sw = SweepIndex.build_cached(
+            index, config.mapping.search_radius, tile=params.TILE,
+            cache_dir=config.runtime.sweep_cache_dir,
+        )
         self.tiles = jax.device_put(sw.tiles)
         self.meta = jax.device_put(sw.meta)
         self.cum = jax.device_put(sw.cum)
@@ -448,9 +523,44 @@ class TurboMapper:
         from concurrent.futures import ThreadPoolExecutor
 
         self._uploader = ThreadPoolExecutor(1)
+        import threading
+
+        self._oracle = None
+        self._oracle_lock = threading.Lock()
+        self._oracle_kicked = False
+        self._rescue_pool = (
+            ThreadPoolExecutor(max(1, config.runtime.num_threads))
+            if self.p.rescue else None
+        )
+        self._rescue_futs: list = []
+        self._ovf_warned = False
+
+    def _get_oracle(self):
+        with self._oracle_lock:
+            if self._oracle is None:
+                from ..oracle import Oracle
+
+                self._oracle = Oracle(self.index, self.cfg)
+        return self._oracle
+
+    def _rescue_one(self, rid: int, s: ReadSignal, turbo_mt: float):
+        t0 = time.perf_counter()
+        oracle = self._get_oracle()
+        chunk_idx_adj, num_events, chains, _stopped = oracle.streaming_read(
+            s.pa
+        )
+        from .driver import streaming_record
+
+        mt = turbo_mt + (time.perf_counter() - t0) * 1000
+        return rid, streaming_record(
+            self.index, self.cfg, rid, s.read_id, s.length, chunk_idx_adj,
+            num_events, chains, mt,
+        )
 
     def close(self):
         self._uploader.shutdown(wait=False)
+        if self._rescue_pool is not None:
+            self._rescue_pool.shutdown(wait=False)
 
     def __del__(self):  # noqa: D105 - release the uploader thread
         try:
@@ -477,6 +587,21 @@ class TurboMapper:
                     self._prepare_batch, signals[nxt : nxt + B]
                 )
             self._map_batch(signals[base : base + B], base, records, prep)
+        if self._rescue_futs:
+            import sys
+
+            n_remap = 0
+            for fut in self._rescue_futs:
+                rid, rec = fut.result()
+                if rec.is_mapped:
+                    n_remap += 1
+                records[rid] = rec
+            print(
+                f"turbo: {len(self._rescue_futs)} capacity-overflow reads "
+                f"re-mapped through the exact engine ({n_remap} mapped)",
+                file=sys.stderr,
+            )
+            self._rescue_futs = []
         return [records[i] for i in range(len(signals)) if i in records]
 
     # ------------------------------------------------------------------ --
@@ -539,11 +664,13 @@ class TurboMapper:
         prev_done = n_full == 0
         done_h = prev_done.copy()
         rounds = 0
-        ovf_warned = False
         while not done_h.all():
             t0 = time.perf_counter()
+            feats_r, counts_r = self._slice_chunk(
+                feats_all, counts_all, np.int32(rounds)
+            )
             out = self._run_round(
-                feats_all, counts_all, np.int32(rounds), n_full_d,
+                feats_r, counts_r, n_full_d,
                 chunk_idx, done, stopped, offsets, carry, rb_f, rb_i,
             )
             (chunk_idx, done, stopped, offsets, carry, rb_f, rb_i,
@@ -551,6 +678,24 @@ class TurboMapper:
             done_h, ovf_h = self._unpack_host_sig(
                 self._fetch(host_sig), B
             )
+            if ovf_h.any():
+                if self._rescue_pool is not None and not self._oracle_kicked:
+                    # overflow somewhere this batch: start building the
+                    # exact-rescue oracle now so it overlaps device rounds
+                    self._oracle_kicked = True
+                    self._rescue_pool.submit(self._get_oracle)
+                elif self._rescue_pool is None and not self._ovf_warned:
+                    import sys
+
+                    print(
+                        "warning: turbo capacity overflow with rescue "
+                        "DISABLED [match="
+                        f"{bool(ovf_h[0])} seeds={bool(ovf_h[1])}]; raise "
+                        "TurboParams.K / TurboParams.S or anchors are "
+                        "dropped",
+                        file=sys.stderr,
+                    )
+                    self._ovf_warned = True
             round_ms = (time.perf_counter() - t0) * 1000
             act = ~prev_done
             n_act = max(1, int(act.sum()))
@@ -565,17 +710,6 @@ class TurboMapper:
                     f"active {n_act}",
                     file=_sys.stderr, flush=True,
                 )
-            if ovf_h.any() and not ovf_warned:
-                import sys
-
-                print(
-                    "warning: turbo overflow flags "
-                    f"[match={bool(ovf_h[0])} seeds={bool(ovf_h[1])}]; "
-                    "raise TurboParams.K / TurboParams.S or anchors are "
-                    "dropped",
-                    file=sys.stderr,
-                )
-                ovf_warned = True
         # final summaries to host
         rb_f_h = self._fetch(rb_f)
         rb_i_h = self._fetch(rb_i)
@@ -595,6 +729,8 @@ class TurboMapper:
     # process_allgather so data-sharded rows reach every host
     _fetch = staticmethod(np.asarray)
 
+    _slice_chunk = staticmethod(slice_chunk)
+
     def _place_batch(self, q, qoff, qscale, n_full):
         sh = getattr(self, "_sh_d", None)
         return (
@@ -605,12 +741,12 @@ class TurboMapper:
     def _place_state(self, state):
         return state
 
-    def _run_round(self, feats_all, counts_all, r, n_full_d, chunk_idx,
+    def _run_round(self, feats_r, counts_r, n_full_d, chunk_idx,
                    done, stopped, offsets, carry, rb_f, rb_i):
         m = self.cfg.mapping
         return turbo_round(
             self.tiles, self.meta, self.cum, self.rot, self.mu,
-            self.origin, feats_all, counts_all, r,
+            self.origin, feats_r, counts_r,
             n_full_d, chunk_idx, done, stopped, offsets, carry, rb_f, rb_i,
             p=self.p, step=m.step_size, radius=m.search_radius,
             dim=self.index.dim, geom=self.geom,
@@ -652,7 +788,9 @@ class TurboMapper:
         ci = chunk_idx + 1
         sl = s.length
         s1, s2_raw, sumd1, s3_raw = (float(x) for x in sf[:4])
-        g1, t_start, t_end, q_start, q_end, n1, nc, _ = (int(x) for x in si)
+        g1, t_start, t_end, q_start, q_end, n1, nc, ovf = (
+            int(x) for x in si
+        )
         # same chain-candidacy gates as the round body (reference chain
         # selection, spatial_index.cc:230-247,545-546)
         min_sc = self.cfg.chain.min_chaining_score
@@ -705,3 +843,9 @@ class TurboMapper:
                 fragment_length=0, mapq=61, direction=0,
                 tags=streaming_tags(mt_ms, ci, sl, summ),
             )
+            if ovf and self._rescue_pool is not None:
+                # unmapped AND capacity-truncated: the exact engine decides
+                # (replaces the placeholder record when the future drains)
+                self._rescue_futs.append(
+                    self._rescue_pool.submit(self._rescue_one, rid, s, mt_ms)
+                )

@@ -233,7 +233,9 @@ def _kernel(
     # locate chain 2's end state (first row matching s2 under the same
     # exclusion mask) to get its interval for the s3 pass
     def find2_block(blk, st2):
-        g2, stt2, te2, found2 = st2
+        # found2 carried as i32 0/1: Mosaic can't legalize an i1 vector
+        # loop carry (same class as the sweep kernel's while-loop note)
+        g2, stt2, te2, found2_i = st2
         i0 = blk * SB
         s = scores_ref[pl.ds(i0, SB), :]
         g = a_g[pl.ds(i0, SB), :]
@@ -246,7 +248,7 @@ def _kernel(
         rio = jax.lax.broadcasted_iota(jnp.int32, (SB, LANES), 0)
         first = jnp.min(jnp.where(hit, rio, SB), axis=0, keepdims=True)
         sel = rio == first
-        hv = jnp.any(hit, axis=0, keepdims=True) & ~found2
+        hv = jnp.any(hit, axis=0, keepdims=True) & (found2_i == 0)
 
         def pick(arr):
             return jnp.sum(jnp.where(sel, arr, 0), axis=0, keepdims=True)
@@ -255,15 +257,15 @@ def _kernel(
             jnp.where(hv, pick(g), g2),
             jnp.where(hv, pick(stt), stt2),
             jnp.where(hv, pick(t), te2),
-            found2 | hv,
+            jnp.where(hv, 1, found2_i),
         )
 
     zi = jnp.zeros((1, LANES), jnp.int32)
-    g2, stt2, te2, found2 = jax.lax.fori_loop(
+    g2, stt2, te2, found2_i = jax.lax.fori_loop(
         0, A // SB, find2_block,
-        (jnp.full((1, LANES), -1, jnp.int32), zi, zi,
-         jnp.zeros((1, LANES), jnp.bool_)),
+        (jnp.full((1, LANES), -1, jnp.int32), zi, zi, zi),
     )
+    found2 = found2_i > 0
 
     def s3_block(blk, acc):
         i0 = blk * SB
@@ -348,7 +350,13 @@ def chain_fused(
     if (A - CARRY) % kb:
         raise ValueError(f"anchor rows {A - CARRY} must tile by kb={kb}")
     L = LANES
-    Bp = -(-B // L) * L
+    # Launch in FIXED-grid chunks of FIXED_G lane-blocks: the grid count is
+    # baked into the Mosaic kernel, so without chunking every read-batch
+    # size triggers a fresh minutes-long remote kernel compile (the same
+    # policy as sweep_search's MAXG chunking).
+    FIXED_G = 4
+    CHUNK = FIXED_G * L
+    Bp = -(-B // CHUNK) * CHUNK
     pad = Bp - B
 
     def padl(x, fill=0):
@@ -359,26 +367,26 @@ def chain_fused(
     c_score, c_stt, c_stq, c_n, c_sumd = (
         padl(c_score), padl(c_stt), padl(c_stq), padl(c_n), padl(c_sumd)
     )
-    G = Bp // L
+    G = FIXED_G
     ispec = pl.BlockSpec((A, L), lambda g: (0, g), memory_space=pltpu.VMEM)
     cspec = pl.BlockSpec((CARRY, L), lambda g: (0, g),
                          memory_space=pltpu.VMEM)
     sspec = pl.BlockSpec((8, L), lambda g: (0, g), memory_space=pltpu.VMEM)
     rspec = pl.BlockSpec((ring, L), lambda g: (0, g),
                          memory_space=pltpu.VMEM)
-    outs = pl.pallas_call(
+    call = pl.pallas_call(
         partial(_kernel, A=A, CARRY=CARRY, RING=ring, KB=kb, radius=radius,
                 dim=dim, cfg=cfg),
         grid=(G,),
         in_specs=[ispec] * 4 + [cspec] * 5,
         out_specs=[sspec, sspec] + [rspec] * 8,
         out_shape=(
-            [jax.ShapeDtypeStruct((8, Bp), jnp.float32),
-             jax.ShapeDtypeStruct((8, Bp), jnp.int32)]
-            + [jax.ShapeDtypeStruct((ring, Bp), jnp.int32)] * 3
-            + [jax.ShapeDtypeStruct((ring, Bp), jnp.float32)]
-            + [jax.ShapeDtypeStruct((ring, Bp), jnp.int32)] * 3
-            + [jax.ShapeDtypeStruct((ring, Bp), jnp.float32)]
+            [jax.ShapeDtypeStruct((8, CHUNK), jnp.float32),
+             jax.ShapeDtypeStruct((8, CHUNK), jnp.int32)]
+            + [jax.ShapeDtypeStruct((ring, CHUNK), jnp.int32)] * 3
+            + [jax.ShapeDtypeStruct((ring, CHUNK), jnp.float32)]
+            + [jax.ShapeDtypeStruct((ring, CHUNK), jnp.int32)] * 3
+            + [jax.ShapeDtypeStruct((ring, CHUNK), jnp.float32)]
         ),
         scratch_shapes=[pltpu.VMEM((A, L), jnp.float32),
                         pltpu.VMEM((A, L), jnp.int32)],
@@ -389,7 +397,19 @@ def chain_fused(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(a_t, a_q, a_d, a_g, c_score, c_stt, c_stq, c_n, c_sumd)
+    )
+    parts = []
+    for c0 in range(0, Bp, CHUNK):
+        sl = (slice(None), slice(c0, c0 + CHUNK))
+        parts.append(call(
+            a_t[sl], a_q[sl], a_d[sl], a_g[sl], c_score[sl], c_stt[sl],
+            c_stq[sl], c_n[sl], c_sumd[sl],
+        ))
+    if len(parts) == 1:
+        outs = parts[0]
+    else:
+        outs = [jnp.concatenate([p[i] for p in parts], axis=1)
+                for i in range(10)]
     sum_f, sum_i = outs[0][:, :B], outs[1][:, :B]
     carry = tuple(o[:, :B] for o in outs[2:])
     return sum_f, sum_i, carry

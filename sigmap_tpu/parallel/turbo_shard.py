@@ -114,11 +114,11 @@ def make_sharded_round(mesh: Mesh, p: TurboParams, step, radius, dim,
         return m_metam, m_d2m, cnt_m, wrote_m
 
     def shard_fn(tiles_l, meta_l, cum_l, rot_l, mu_l, org_l, feats_l,
-                 counts_l, r, n_full_l, ci_l, done_l,
+                 counts_l, n_full_l, ci_l, done_l,
                  st_l, off_l, carry_l, rbf_l, rbi_l):
         return turbo_round_body(
             tiles_l[0], meta_l[0], cum_l[0], rot_l, mu_l, org_l, feats_l,
-            counts_l, r, n_full_l, ci_l,
+            counts_l, n_full_l, ci_l,
             done_l, st_l, off_l, carry_l, rbf_l, rbi_l,
             p, step, radius, dim, geom, chain_cfg, m, interpret,
             merge_matches=merge_matches,
@@ -129,7 +129,7 @@ def make_sharded_round(mesh: Mesh, p: TurboParams, step, radius, dim,
     in_specs = (
         P("index"), P("index"), P("index"),               # tiles, meta, cum
         P(), P(), P(),                                    # rot, mu, origin
-        d, d, P(),                                        # feats, counts, r
+        d, d,                                             # feats_r, counts_r
         d, d, d, d, d,                                    # n_full..offsets
         (nd,) * 8,                                        # carry
         nd, nd,                                           # rb_f, rb_i
@@ -187,8 +187,18 @@ class TurboShardMapper(TurboMapper):
         self.geom = ss.geom
         self.interpret = jax.default_backend() == "cpu"
         from concurrent.futures import ThreadPoolExecutor
+        import threading
 
         self._uploader = ThreadPoolExecutor(1)
+        self._oracle = None
+        self._oracle_lock = threading.Lock()
+        self._oracle_kicked = False
+        self._rescue_pool = (
+            ThreadPoolExecutor(max(1, config.runtime.num_threads))
+            if self.p.rescue else None
+        )
+        self._rescue_futs = []
+        self._ovf_warned = False
         m = config.mapping
         self._round = make_sharded_round(
             mesh, params, m.step_size, m.search_radius, index.dim,
@@ -226,11 +236,11 @@ class TurboShardMapper(TurboMapper):
             put(rb_f, self._sh_nd), put(rb_i, self._sh_nd),
         )
 
-    def _run_round(self, feats_all, counts_all, r, n_full_d, chunk_idx,
+    def _run_round(self, feats_r, counts_r, n_full_d, chunk_idx,
                    done, stopped, offsets, carry, rb_f, rb_i):
         return self._round(
             self.tiles, self.meta, self.cum, self.rot, self.mu,
-            self.origin, feats_all, counts_all, jnp.asarray(r), n_full_d,
+            self.origin, feats_r, counts_r, n_full_d,
             chunk_idx, done, stopped, offsets, carry, rb_f, rb_i,
         )
 

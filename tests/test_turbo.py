@@ -87,3 +87,50 @@ def test_turbo_concordance_with_exact(workload):
     # >= 98%: K-truncation (nearest-K anchor slots vs the reference's
     # 5000 cap) may flip rare repeat-ambiguous loci
     assert agree >= 0.98 * both, f"{agree}/{both} loci agree"
+
+
+def test_turbo_rescue_recovers_truncation(workload):
+    """With a deliberately tiny K (heavy per-seed truncation), the exact
+    rescue pass must recover reads turbo unmaps: no silent capacity
+    unmapping (reference keeps 5000/seed, spatial_index.cc:290)."""
+    from sigmap_tpu.mapping.turbo import TurboMapper, TurboParams
+
+    cfg, idx0, reads, signals = workload
+    # a wide radius crowds every ball so K=2 truncates hard (at 200 kb the
+    # default radius leaves balls near-empty and truncation can't bite);
+    # reads subset keeps the CPU run fast
+    cfg = dataclasses.replace(
+        cfg,
+        mapping=dataclasses.replace(cfg.mapping, search_radius=0.5),
+        runtime=dataclasses.replace(
+            cfg.runtime, read_batch=32, num_threads=2),
+    )
+    idx = build_index(
+        [ReferenceSequence(n, c) for n, c in random_genome(200_000, seed=11)],
+        make_synthetic_pore_model(k=6, seed=0),
+        cfg.index, cfg.mapping.search_radius, verbose=False,
+    )
+    signals = signals[:32]
+    reads = reads[:32]
+    base = dict(S=64, K=2, RING=64, TILE=256, peaks_impl="scan")
+    no_rescue = TurboMapper(
+        idx, cfg, TurboParams(rescue=False, **base)
+    ).streaming_map(signals)
+    rescued = TurboMapper(
+        idx, cfg, TurboParams(rescue=True, **base)
+    ).streaming_map(signals)
+    n_plain = sum(r.is_mapped for r in no_rescue)
+    n_resc = sum(r.is_mapped for r in rescued)
+    # tiny K must unmap some reads without rescue; rescue restores them
+    assert n_plain < len(signals), "K=2 unexpectedly mapped everything"
+    assert n_resc > n_plain
+    assert n_resc >= len(signals) - 2, f"{n_resc}/{len(signals)} after rescue"
+    # rescued records carry exact-engine loci: check against truth
+    by_name = {rec.read_name: rec for rec in rescued}
+    for r in reads:
+        rec = by_name[r.read_id]
+        if not rec.is_mapped:
+            continue
+        lo = rec.fragment_start
+        hi = lo + rec.fragment_length
+        assert rec.direction != r.strand or lo < r.ref_end or hi > r.ref_start

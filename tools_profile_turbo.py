@@ -75,8 +75,11 @@ def main():
         state = tm._place_state(tm._init_state(B))
         (chunk_idx, done, stopped, offsets, carry, rb_f, rb_i) = state
 
+        from sigmap_tpu.mapping.turbo import slice_chunk
+
         t0 = time.perf_counter()
-        out = tm._run_round(feats_all, counts_all, np.int32(0), n_full_d,
+        f_r, c_r = slice_chunk(feats_all, counts_all, np.int32(0))
+        out = tm._run_round(f_r, c_r, n_full_d,
                             chunk_idx, done, stopped, offsets, carry,
                             rb_f, rb_i)
         np.asarray(out[-1])
@@ -85,7 +88,8 @@ def main():
         out_prev = out[:7]
         for r in range(args.rounds):
             t0 = time.perf_counter()
-            out = tm._run_round(feats_all, counts_all, np.int32(r + 1),
+            f_r, c_r = slice_chunk(feats_all, counts_all, np.int32(r + 1))
+            out = tm._run_round(f_r, c_r,
                                 n_full_d, *out_prev)
             hs = np.asarray(out[-1])
             dt = time.perf_counter() - t0
