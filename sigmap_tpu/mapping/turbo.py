@@ -399,23 +399,29 @@ def batch_features(
         qoff_r = jnp.pad(qoff_r, (0, rp - rows))
         qscale_r = jnp.pad(qscale_r, (0, rp - rows), constant_values=1.0)
         clen_all = jnp.pad(clen_all, (0, rp - rows))
-    fparts, cparts = [], []
-    for r0 in range(0, rp, RB):
-        f, c = _features_rows(
-            jax.lax.slice_in_dim(q2, r0, r0 + RB),
-            jax.lax.slice_in_dim(qoff_r, r0, r0 + RB),
-            jax.lax.slice_in_dim(qscale_r, r0, r0 + RB),
-            jax.lax.slice_in_dim(clen_all, r0, r0 + RB),
-            p=p, ed_cfg=ed_cfg, compress_delta=compress_delta,
+    nblk = rp // RB
+
+    def body(carry, xs):
+        return carry, _features_rows(
+            *xs, p=p, ed_cfg=ed_cfg, compress_delta=compress_delta
         )
-        fparts.append(f)
-        cparts.append(c)
-    feats = fparts[0] if len(fparts) == 1 else jnp.concatenate(fparts)
-    counts = cparts[0] if len(cparts) == 1 else jnp.concatenate(cparts)
+
+    # lax.scan (not a Python loop): the Pallas peak/compress kernels then
+    # appear ONCE in the traced module regardless of nblk — a Python loop
+    # inlined nblk copies and the kernel compiled nblk times
+    _, (feats, counts) = jax.lax.scan(
+        body, 0,
+        (
+            q2.reshape(nblk, RB, Cs),
+            qoff_r.reshape(nblk, RB),
+            qscale_r.reshape(nblk, RB),
+            clen_all.reshape(nblk, RB),
+        ),
+    )
     F = feats.shape[-1]
     return (
-        feats[:rows].reshape(B, NC, F),
-        counts[:rows].reshape(B, NC).astype(jnp.int32),
+        feats.reshape(rp, F)[:rows].reshape(B, NC, F),
+        counts.reshape(rp)[:rows].reshape(B, NC).astype(jnp.int32),
     )
 
 
@@ -512,8 +518,10 @@ class TurboMapper:
             index, config.mapping.search_radius, tile=params.TILE,
             cache_dir=config.runtime.sweep_cache_dir,
         )
-        self.tiles = jax.device_put(sw.tiles)
-        self.meta = jax.device_put(sw.meta)
+        from ..utils import device_put_chunked
+
+        self.tiles = device_put_chunked(sw.tiles)
+        self.meta = device_put_chunked(sw.meta)
         self.cum = jax.device_put(sw.cum)
         self.rot = jax.device_put(sw.rot)
         self.mu = jax.device_put(sw.mu)
@@ -732,9 +740,11 @@ class TurboMapper:
     _slice_chunk = staticmethod(slice_chunk)
 
     def _place_batch(self, q, qoff, qscale, n_full):
+        from ..utils import device_put_chunked
+
         sh = getattr(self, "_sh_d", None)
         return (
-            jax.device_put(q, sh), jax.device_put(qoff, sh),
+            device_put_chunked(q, sharding=sh), jax.device_put(qoff, sh),
             jax.device_put(qscale, sh), jax.device_put(n_full, sh),
         )
 

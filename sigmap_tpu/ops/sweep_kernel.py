@@ -17,9 +17,10 @@ walks are latency-bound; the sweep instead:
   nanoflann's own formula) for all BLOCK seeds x TILE windows densely on
   the VPU (strict d^2 < radius — nanoflann.hpp:249 parity; the union slop
   only adds evaluations that fail the test, never changes the match set);
-* extracts matches with an iterated min-extract while-loop that drains
-  every match in the tile (up to K per-seed output slots), with exact
-  total-match counts so K-truncation is observable.
+* extracts matches with a wave drain keeping the K SMALLEST d^2 per seed
+  (replacement against the running K-th-smallest bound, so the
+  true-locus match survives truncation), with exact total-match counts
+  so K-truncation is observable.
 
 Work model: pair-evaluations are set by the per-block union volume
 (roughly invariant in seeds-per-cell density), so bigger read batches
@@ -65,7 +66,9 @@ def _kernel(
     sq = seeds_ref[...]
 
     out_meta_ref[...] = jnp.zeros((BLOCK, K), jnp.int32)
-    out_d2_ref[...] = jnp.zeros((BLOCK, K), jnp.float32)
+    # slots internally hold +INF when empty so the replacement bound
+    # (max over kept) is correct; cleaned to 0 before the kernel returns
+    out_d2_ref[...] = jnp.full((BLOCK, K), INF, jnp.float32)
     wscr[...] = jnp.zeros((BLOCK, 1), jnp.int32)
 
     def tile_of(s):
@@ -116,27 +119,35 @@ def _kernel(
         rowsz = TILE // 8
         mcol = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, rowsz), 1)
 
-        # Wave drain: d2m viewed as [BLOCK, 8, rowsz] (window w = r*rowsz
-        # + c); each wave extracts ALL 8 row-group minima at once into the
-        # seed's next output slots (row-order within the wave, self-
-        # predicated by has/slot<K so exhausted rows and full seeds are
-        # no-ops).  The first NWAVE waves run STRAIGHT-LINE — measured on
-        # v5e, a while-loop iteration costs ~3-4 us in cond-evaluate +
-        # vector->scalar->branch overhead vs ~0.4 us for the wave's actual
-        # vector work, and the one-at-a-time drain this replaces burned
-        # 74% of the sweep in that overhead.  A residual while-loop then
-        # covers the rare deep tile (a needy seed with more matches in one
-        # row-group than NWAVE), preserving the contract that seeds whose
-        # matches fit in K slots report ALL of them; observable-truncation
-        # counts are unchanged.
+        # CLOSEST-K drain with replacement.  Kept slots are the K smallest
+        # d^2 seen so far (ties broken by scan order), matching what a
+        # truncating reference user would want from a cap — and, far more
+        # importantly, guaranteeing the true-locus match (usually the
+        # global minimum of a crowded ball) survives K-truncation (the
+        # earlier first-K-in-scan-order drain dropped it whenever K slots
+        # filled before its tile, the dominant recall loss at 12 Mb).
+        # tau = current K-th smallest bound (radius until slots fill, then
+        # max over kept): only candidates BELOW tau enter dbuf, so once
+        # slots hold tight matches nearly every later tile skips the
+        # drain entirely.  Each wave extracts the 8 row-group minima and
+        # inserts them sequentially (append while slots open, else
+        # replace the current worst).  NWAVE straight-line waves cover
+        # the common case; a residual while-loop finishes deep tiles
+        # (while-loop carries a SCALAR: Mosaic can't legalize vector
+        # carries here).
         NWAVE = 3
+
+        def tau():
+            full = wscr[...] >= K
+            worst = jnp.max(out_d2_ref[...], axis=1, keepdims=True)
+            return jnp.where(full, jnp.minimum(worst, radius), radius)
 
         def wave():
             """One extraction wave, in place: dbuf (masked distances,
             [BLOCK, TILE]; row-group r = lanes [r*rowsz, (r+1)*rowsz))
-            and wscr (write cursors) are VMEM scratch
-            mutated directly — SSA copies of the 512 KB distance buffer
-            across unrolled waves blew the 16 MB scoped-vmem stack."""
+            and wscr (write cursors) are VMEM scratch mutated directly —
+            SSA copies of the 512 KB distance buffer across unrolled
+            waves blew the 16 MB scoped-vmem stack."""
             c_wrote = wscr[...]
             mins, pcols, mvals = [], [], []
             for r in range(8):
@@ -154,24 +165,27 @@ def _kernel(
                 pcols.append(pcol_r)
                 mvals.append(mval_r)
             has = [mins[r] < radius for r in range(8)]
-            # slots in ROW order within the wave (prefix count of accepted
-            # rows: [BLOCK, 1] vectors live on the sublane axis, so an
-            # O(rows^2) ascending-d^2 rank network here measurably
-            # dominated the wave)
             n_put = jnp.zeros((BLOCK, 1), jnp.int32)
             out_m = out_meta_ref[...]
             out_d = out_d2_ref[...]
             for r in range(8):
-                slot = c_wrote + n_put
-                put = has[r] & (slot < K)
+                # sequential insert: empty slots are +INF, so `worst` is
+                # the replacement bound only once all K slots are real
+                worst = jnp.max(out_d, axis=1, keepdims=True)
+                wi = jnp.min(
+                    jnp.where(out_d == worst, kcol, K), axis=1,
+                    keepdims=True,
+                )
+                notfull = (c_wrote + n_put) < K
+                slot = jnp.where(notfull, c_wrote + n_put, wi)
+                put = has[r] & (notfull | (mins[r] < worst))
                 hit = (kcol == slot) & put
                 out_m = jnp.where(hit, mvals[r], out_m)
                 out_d = jnp.where(hit, mins[r], out_d)
-                n_put = n_put + put.astype(jnp.int32)
+                n_put = n_put + (put & notfull).astype(jnp.int32)
             out_meta_ref[...] = out_m
             out_d2_ref[...] = out_d
-            # retire every extracted row-min (matches beyond a seed's K
-            # slots are dropped, exactly as the old drain dropped them)
+            # retire every extracted row-min
             for r in range(8):
                 sl = pl.ds(r * rowsz, rowsz)
                 dbuf[:, sl] = jnp.where(
@@ -186,26 +200,20 @@ def _kernel(
             return jnp.min(rmin, axis=1, keepdims=True)
 
         def go():
-            # more to drain? (a [BLOCK, 1] vector carried through the
-            # while-loop fails Mosaic legalization — carry this SCALAR)
-            return jnp.any((dbuf_min() < radius) & (wscr[...] < K))
+            # candidates still below the current kept-K bound?
+            return jnp.any(dbuf_min() < tau())
 
         def extract(_go):
             wave()
             return go()
 
-        # extraction only when some NEEDY seed (open slots) matched; full
-        # seeds' later matches are dropped uncounted either way, and with
-        # K << typical match counts most tiles skip the drain entirely
-        @pl.when(jnp.any((nrow > 0) & (wscr[...] < K)))
+        @pl.when(jnp.any(match & (acc < jnp.broadcast_to(tau(), acc.shape))))
         def _():
-            dbuf[...] = jnp.where(match, acc, INF)
+            dbuf[...] = jnp.where(
+                match & (acc < jnp.broadcast_to(tau(), acc.shape)), acc, INF
+            )
             for _ in range(NWAVE):
                 wave()
-            # rare residual: a needy seed with more matches in one
-            # row-group than NWAVE; drains until every needy seed's tile
-            # matches are extracted or its K slots are full (each wave
-            # retires >= 1 match per seed with matches left)
             jax.lax.while_loop(lambda g: g, extract, go())
 
         return cnt
@@ -213,6 +221,10 @@ def _kernel(
     cnt = jax.lax.fori_loop(
         0, total, step,
         jnp.zeros((BLOCK, 1), jnp.int32),
+    )
+    # empty slots held +INF internally (replacement bound); return 0
+    out_d2_ref[...] = jnp.where(
+        kcol < wscr[...], out_d2_ref[...], 0.0
     )
     out_cnt_ref[:, pl.ds(0, 1)] = cnt
     out_cnt_ref[:, pl.ds(1, 1)] = wscr[...]

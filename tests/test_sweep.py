@@ -122,3 +122,45 @@ def test_sweep_dense_cluster_truncation(small_index):
     hi = int((d2 < radius + EPS).sum())
     assert lo <= int(np.asarray(cnt)[0]) <= hi
     assert (np.asarray(wrote) <= 8).all()
+
+
+def test_sweep_truncation_keeps_closest_k(small_index):
+    """When a seed's ball holds more than K matches, the K kept slots must
+    be the K SMALLEST d^2 (up to the f32 rotated-basis boundary band) —
+    the guarantee that the true-locus match survives truncation."""
+    import jax.numpy as jnp
+
+    cfg, idx = small_index
+    # a WIDE radius so balls at 20 kb scale hold well over K matches
+    radius = 0.8
+    sw = SweepIndex.build(idx, radius, tile=256)
+    W, metas = _raw_windows_by_meta(idx)
+    rng = np.random.default_rng(7)
+    Q = 32
+    picks = rng.integers(0, sw.n_windows, Q)
+    qs = np.zeros((Q, 8), np.float32)
+    qs[:, : idx.dim] = W[picks] + rng.normal(
+        0, 0.1, (Q, idx.dim)).astype(np.float32)
+    K = 4
+    m_meta, m_d2, cnt, wrote = sweep_round(
+        jnp.asarray(qs), jnp.asarray(sw.cum), jnp.asarray(sw.tiles),
+        jnp.asarray(sw.meta), jnp.asarray(sw.rot), jnp.asarray(sw.mu),
+        jnp.asarray(sw.origin), radius=radius, K=K, TILE=sw.tile,
+        radixes=sw.radixes, span=sw.span, cell_width=sw.cell_width,
+        interpret=True,
+    )
+    m_d2 = np.asarray(m_d2)
+    cnt = np.asarray(cnt)
+    wrote = np.asarray(wrote)
+    checked = 0
+    for i in range(Q):
+        d2 = np.sort(((W - qs[i, None, : idx.dim]) ** 2).sum(axis=1))
+        d2 = d2[d2 < radius]
+        if len(d2) <= K:
+            continue
+        checked += 1
+        kept = np.sort(m_d2[i, : wrote[i]])
+        assert wrote[i] == K
+        # kept set = K smallest within the f32 boundary band
+        np.testing.assert_allclose(kept, d2[:K], atol=5e-4)
+    assert checked >= 3, "test inputs produced too few crowded balls"

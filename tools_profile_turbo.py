@@ -20,6 +20,11 @@ def main():
     ap.add_argument("--read-bases", type=int, default=3000)
     ap.add_argument("--rounds", type=int, default=6)
     ap.add_argument("--stages", action="store_true")
+    ap.add_argument("--K", type=int, default=None,
+                    help="override TurboParams.K")
+    ap.add_argument("--S", type=int, default=None)
+    ap.add_argument("--ring", type=int, default=None)
+    ap.add_argument("--block", type=int, default=None)
     args = ap.parse_args()
 
     import jax
@@ -55,10 +60,23 @@ def main():
     tm = None
     for B in (int(x) for x in args.batches.split(",")):
         cfgB = dataclasses.replace(
-            cfg, runtime=dataclasses.replace(cfg.runtime, read_batch=B)
+            cfg, runtime=dataclasses.replace(
+                cfg.runtime, read_batch=B,
+                sweep_cache_dir="/root/.cache/sigmap_tpu_sweep",
+            )
         )
         t0 = time.perf_counter()
-        tm = TurboMapper(idx, cfgB)
+        from sigmap_tpu.mapping.turbo import TurboParams
+
+        params = None
+        if args.K or args.S or args.ring or args.block:
+            on_cpu = jax.default_backend() == "cpu"
+            dflt = TurboParams(peaks_impl="scan" if on_cpu else "pallas")
+            params = dataclasses.replace(
+                dflt, K=args.K or dflt.K, S=args.S or dflt.S,
+                RING=args.ring or dflt.RING, block=args.block or dflt.block,
+            )
+        tm = TurboMapper(idx, cfgB, params)
         log(f"B={B}: mapper init {time.perf_counter()-t0:.1f}s")
         batch = signals[:B] if len(signals) >= B else signals
         t0 = time.perf_counter()
