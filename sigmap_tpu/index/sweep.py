@@ -77,10 +77,12 @@ class SweepIndex:
     key computation and distance evaluation (sweep_search does this).
     """
 
-    tiles: np.ndarray      # [T, 8, TILE] f32 ROTATED coords (pad: PAD_COORD)
+    tiles: np.ndarray      # [T, 8, TILE] f32 ROTATED coords (pad:
+                           # PAD_COORD); None when built with
+                           # materialize=False (device materialization)
     meta: np.ndarray       # [T, 8, TILE//8] i32 (group << 25) | tpos;
                            # window w of tile t sits at (t, w // (TILE//8),
-                           # w % (TILE//8))
+                           # w % (TILE//8)); None when materialize=False
     cum: np.ndarray        # [prod(radixes)+1] i32 cumulative windows/cell
     rot: np.ndarray        # [dim, dim] f32 orthonormal rotation (columns =
                            # principal dirs, descending variance)
@@ -93,6 +95,13 @@ class SweepIndex:
     dim: int
     cell_width: float
     radius: float
+    # compact device-materialization inputs (always built): the cell-sort
+    # permutation and packed per-window metadata.  The TPU mapper uploads
+    # these (~2x 4 B/window) plus the raw value stream and builds
+    # tiles/meta ON DEVICE - the padded [T, 8, TILE] form is ~3x larger
+    # and crawls through the host->device tunnel.
+    perm: np.ndarray | None = None        # [nw] i32
+    meta_flat: np.ndarray | None = None   # [nw] i32
 
     @property
     def n_tiles(self) -> int:
@@ -106,16 +115,22 @@ class SweepIndex:
         """Persist to an npz (the sweep analogue of SignalIndex.save; the
         reference persists its search structure as .pt/.si,
         spatial_index.cc:105-130)."""
-        f = open(path, "wb") if not hasattr(path, "write") else path
-        np.savez(
-            f, tiles=self.tiles, meta=self.meta, cum=self.cum,
-            rot=self.rot, mu=self.mu, origin=self.origin,
+        arrs = dict(
+            cum=self.cum, rot=self.rot, mu=self.mu, origin=self.origin,
             radixes=np.asarray(self.radixes, np.int64),
             scalars=np.asarray(
                 [self.span, self.n_windows, self.tile, self.dim], np.int64
             ),
             fscalars=np.asarray([self.cell_width, self.radius], np.float64),
         )
+        if self.tiles is not None:
+            arrs["tiles"] = self.tiles
+            arrs["meta"] = self.meta
+        if self.perm is not None:
+            arrs["perm"] = self.perm
+            arrs["meta_flat"] = self.meta_flat
+        f = open(path, "wb") if not hasattr(path, "write") else path
+        np.savez(f, **arrs)
         if f is not path:
             f.close()
 
@@ -125,24 +140,30 @@ class SweepIndex:
         sc = z["scalars"]
         fs = z["fscalars"]
         return SweepIndex(
-            tiles=z["tiles"], meta=z["meta"], cum=z["cum"], rot=z["rot"],
+            tiles=z["tiles"] if "tiles" in z else None,
+            meta=z["meta"] if "meta" in z else None,
+            cum=z["cum"], rot=z["rot"],
             mu=z["mu"], origin=z["origin"],
             radixes=tuple(int(x) for x in z["radixes"]),
             span=int(sc[0]), n_windows=int(sc[1]), tile=int(sc[2]),
             dim=int(sc[3]), cell_width=float(fs[0]), radius=float(fs[1]),
+            perm=z["perm"] if "perm" in z else None,
+            meta_flat=z["meta_flat"] if "meta_flat" in z else None,
         )
 
     @staticmethod
     def build_cached(idx: SignalIndex, radius: float, tile: int = 1024,
                      span: int = SWEEP_SPAN,
-                     cache_dir: str | None = None) -> "SweepIndex":
+                     cache_dir: str | None = None,
+                     materialize: bool = True) -> "SweepIndex":
         """build() with an optional on-disk cache.
 
         The key hashes the index's window stream (cheap strided sample +
         shape) and the grid parameters, so repeated runs on the same index
         (bench re-runs, warm-cache subprocesses) skip the ~15 s rebuild."""
         if not cache_dir:
-            return SweepIndex.build(idx, radius, tile=tile, span=span)
+            return SweepIndex.build(idx, radius, tile=tile, span=span,
+                                    materialize=materialize)
         import hashlib
         import os
 
@@ -151,7 +172,8 @@ class SweepIndex:
         h = hashlib.sha1()
         h.update(probe)
         h.update(np.asarray(
-            [idx.n_windows, idx.dim, tile, span], np.int64).tobytes())
+            [idx.n_windows, idx.dim, tile, span, int(materialize)],
+            np.int64).tobytes())
         h.update(np.float64(radius).tobytes())
         path = os.path.join(cache_dir, f"sweep_{h.hexdigest()[:16]}.npz")
         if os.path.exists(path):
@@ -159,7 +181,8 @@ class SweepIndex:
                 return SweepIndex.load(path)
             except Exception:  # noqa: BLE001 - corrupt cache: rebuild
                 pass
-        sw = SweepIndex.build(idx, radius, tile=tile, span=span)
+        sw = SweepIndex.build(idx, radius, tile=tile, span=span,
+                              materialize=materialize)
         os.makedirs(cache_dir, exist_ok=True)
         tmp = path + ".tmp"
         sw.save(tmp)
@@ -168,12 +191,17 @@ class SweepIndex:
 
     @staticmethod
     def build(idx: SignalIndex, radius: float, tile: int = 1024,
-              span: int = SWEEP_SPAN) -> "SweepIndex":
+              span: int = SWEEP_SPAN,
+              materialize: bool = True) -> "SweepIndex":
         """Re-sort a SignalIndex's windows by the rotated sweep grid.
 
         tile must be a multiple of 1024 on real TPU (meta tiles are
         [8, tile//8] i32 and Mosaic needs the minor dim 128-aligned);
-        smaller tiles only work in interpret mode (CPU tests)."""
+        smaller tiles only work in interpret mode (CPU tests).
+
+        materialize=False skips building the host tiles/meta arrays and
+        returns only the compact perm/meta_flat (plus grid tables) for
+        on-device materialization (TurboMapper on the TPU backend)."""
         nw = idx.n_windows
         dim = idx.dim
         if dim < 2:
@@ -235,26 +263,32 @@ class SweepIndex:
         key = coords[:, 0].copy() if nw else np.zeros(0, np.int64)
         for d in range(1, bd):
             key = key * radixes[d] + coords[:, d]
-        perm = np.argsort(key, kind="stable")
+        perm = np.argsort(key, kind="stable").astype(np.int32)
         counts = np.bincount(key, minlength=keyspace)
         cum = np.zeros(keyspace + 1, np.int32)
         np.cumsum(counts, out=cum[1:])
         T = max(1, -(-nw // tile))
-        tiles = np.zeros((T * tile, 8), np.float32)
-        tiles[:nw, :dim] = WR[perm]
-        tiles[nw:, 0] = PAD_COORD
-        meta = np.zeros(T * tile, np.int32)
-        meta[:nw] = (
+        meta_flat = (
             (idx.win_group[perm].astype(np.int32) << META_POS_BITS)
             | idx.win_pos[perm].astype(np.int32)
         )
-        # [T, 8, tile//8] so a tile's metadata is one whole-block DMA
-        # (Mosaic can't slice single rows out of (8,128)-tiled HBM arrays)
-        return SweepIndex(
-            tiles=np.ascontiguousarray(
+        tiles_t = meta_t = None
+        if materialize:
+            tiles = np.zeros((T * tile, 8), np.float32)
+            tiles[:nw, :dim] = WR[perm]
+            tiles[nw:, 0] = PAD_COORD
+            meta = np.zeros(T * tile, np.int32)
+            meta[:nw] = meta_flat
+            # [T, 8, tile//8] so a tile's metadata is one whole-block DMA
+            # (Mosaic can't slice single rows out of (8,128)-tiled HBM
+            # arrays)
+            tiles_t = np.ascontiguousarray(
                 tiles.reshape(T, tile, 8).transpose(0, 2, 1)
-            ),
-            meta=meta.reshape(T, 8, tile // 8),
+            )
+            meta_t = meta.reshape(T, 8, tile // 8)
+        return SweepIndex(
+            tiles=tiles_t,
+            meta=meta_t,
             cum=cum,
             rot=rot.astype(np.float32),
             mu=mu.astype(np.float32),
@@ -263,4 +297,5 @@ class SweepIndex:
             span=span,
             n_windows=nw, tile=tile, dim=dim,
             cell_width=w, radius=float(radius),
+            perm=perm, meta_flat=meta_flat,
         )

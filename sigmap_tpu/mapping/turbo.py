@@ -67,20 +67,20 @@ class TurboParams:
 
     # K and RING trade against each other: the ring band must SPAN many
     # seeds (RING/K seeds' worth of anchors) or chains fragment between
-    # consecutive true-locus anchors.  Measured on the 2 Mb synthetic
-    # workload: (K=16, RING=64) maps 49/64 reads, (K=8, RING=256) maps
-    # 64/64 — matching the exact engine.  Under K-truncation the kept set
-    # is the sweep kernel's wave-drain sample (per-row-group minima in
-    # tile-scan order), biased toward small d^2 but NOT the strict
-    # closest-K, and slots are not d^2-sorted; no downstream code depends
-    # on slot order.
+    # consecutive true-locus anchors.  The sweep keeps each seed's K
+    # CLOSEST matches (ops/sweep_kernel.py closest-K drain; slots are not
+    # d^2-sorted and no downstream code depends on slot order).  Measured
+    # at 12 Mb / B=2048 with rescue off: (K=8, RING=256) maps 79% of
+    # reads, (K=8, RING=768) maps 99.4%, (K=16, RING=768) 99.76% at ~0.8x
+    # the speed; block=32 beats block=128 ~2x on sweep time (the block
+    # union each seed is evaluated against shrinks with block size).
     S: int = 256          # seed slots per read per chunk
     K: int = 8            # match slots per seed (reference cap: 5000)
-    RING: int = 256       # chaining band / carry size
+    RING: int = 768       # chaining band / carry size
     TILE: int = 1024      # sweep tile width
     max_events: int = 1024
     max_features: int = 1024
-    block: int = 128      # sweep seed-block
+    block: int = 32       # sweep seed-block
     peaks_impl: str = "pallas"   # "scan" on CPU
     # Capacity policy: per-read overflow (matches past K or seeds past S)
     # is tracked on device; reads that finish UNMAPPED with overflow are
@@ -491,6 +491,48 @@ def _quantize_one(s, i, q, qoff, qscale, n_full, NC, Cs, max_chunks):
     return q, qoff, qscale, n_full
 
 
+def _materialize_sweep_on_device(index: SignalIndex, sw, TILE: int):
+    """Build the [T, 8, TILE] tile store + [T, 8, TILE//8] meta on device
+    from compact inputs (values [nv] f32, perm [nw] i32, meta_flat [nw]
+    i32).  Cell assignment (cum/perm) is host-exact; the stored rotated
+    coords may differ from a host build by f32 accumulation order — the
+    same ±ulp class as the documented rotation rounding band, and cell
+    containment has a full δ margin."""
+    from functools import partial as _partial
+
+    from ..index.sweep import PAD_COORD
+    from ..utils import device_put_chunked
+
+    nw = sw.n_windows
+    dim = sw.dim
+    T = max(1, -(-nw // TILE))
+    vals_d = device_put_chunked(index.values.astype(np.float32, copy=False))
+    perm_d = device_put_chunked(sw.perm)
+    metaf_d = device_put_chunked(sw.meta_flat)
+    rot_d = jax.device_put(sw.rot)
+    mu_d = jax.device_put(sw.mu)
+
+    @_partial(jax.jit, static_argnames=("nw", "dim", "T", "tile"))
+    def build(vals, perm, metaf, rot, mu, nw, dim, T, tile):
+        W = jnp.stack(
+            [jax.lax.slice_in_dim(vals, d, d + nw) for d in range(dim)],
+            axis=1,
+        )                                               # [nw, dim]
+        WR = (W - mu[None, :]) @ rot                    # [nw, dim] f32
+        WRp = jnp.take(WR, perm, axis=0)
+        rows = T * tile
+        body = jnp.pad(WRp, ((0, rows - nw), (0, 8 - dim)))
+        ridx = jnp.arange(rows, dtype=jnp.int32)
+        pad_row = (ridx >= nw)[:, None] & (jnp.arange(8) == 0)[None, :]
+        body = jnp.where(pad_row, np.float32(PAD_COORD), body)
+        tiles = body.reshape(T, tile, 8).transpose(0, 2, 1)
+        meta = jnp.pad(metaf, (0, rows - nw)).reshape(T, 8, tile // 8)
+        return tiles, meta
+
+    return build(vals_d, perm_d, metaf_d, rot_d, mu_d,
+                 nw=nw, dim=dim, T=T, tile=TILE)
+
+
 class TurboMapper:
     """Streaming mapper driving turbo_round over a device-resident batch.
 
@@ -514,14 +556,26 @@ class TurboMapper:
             on_cpu = jax.default_backend() == "cpu"
             params = TurboParams(peaks_impl="scan" if on_cpu else "pallas")
         self.p = params
+        on_cpu_backend = jax.default_backend() == "cpu"
         sw = SweepIndex.build_cached(
             index, config.mapping.search_radius, tile=params.TILE,
             cache_dir=config.runtime.sweep_cache_dir,
+            materialize=on_cpu_backend,
         )
         from ..utils import device_put_chunked
 
-        self.tiles = device_put_chunked(sw.tiles)
-        self.meta = device_put_chunked(sw.meta)
+        if sw.tiles is not None:
+            self.tiles = device_put_chunked(sw.tiles)
+            self.meta = device_put_chunked(sw.meta)
+        else:
+            # TPU path: upload the COMPACT inputs (raw value stream + cell
+            # permutation + packed metadata, ~4-12 B/window) and build the
+            # padded [T, 8, TILE] tile store ON DEVICE — the materialized
+            # form is ~3x larger and the tunnel moves big arrays at a few
+            # MB/s (measured 142-240 s for the 760 MB store at 12 Mb)
+            self.tiles, self.meta = _materialize_sweep_on_device(
+                index, sw, params.TILE
+            )
         self.cum = jax.device_put(sw.cum)
         self.rot = jax.device_put(sw.rot)
         self.mu = jax.device_put(sw.mu)

@@ -31,11 +31,19 @@ BIG = 1e30
 
 
 def _kernel(tr_ref, q_ref, tlen_ref, qlen_ref, best_ref, end_ref,
-            *, T, Q):
+            *, T, Q, uniform):
+    """uniform=True: every pair has t_len == T and q_len == Q (the
+    production verification shape), enabling the fast recurrence:
+
+    * last-column extraction is a static row slice (the general path paid
+      a [Q, B] masked reduction per diagonal — ~2x the DP's own cost);
+    * min(prev, prev2) is combined BEFORE the boundary shift, halving the
+      sublane rolls (one roll per diagonal instead of two);
+    * the steady phase (Q-1 <= d < T) skips validity masking entirely —
+      every row is in range.
+    """
     B = LANES
     row = jax.lax.broadcasted_iota(jnp.int32, (Q, B), 0)
-    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
-    del lane1
     qlen = qlen_ref[0, :][None, :]                  # [1, B]
     tlen = tlen_ref[0, :][None, :]
     q = q_ref[:, :]                                  # [Q, B]
@@ -49,8 +57,7 @@ def _kernel(tr_ref, q_ref, tlen_ref, qlen_ref, best_ref, end_ref,
         fill_arr = jnp.full((Q, B), fill, x.dtype)
         return jnp.where(row == 0, fill_arr, rolled)
 
-    def body(d, state):
-        prev, prev2, best, besti = state
+    def step_core(d, prev, prev2):
         # cost[j] = |target[d-j] - q[j]| = |tr_ext[Q + T-1-d+j] - q[j]|;
         # tr is padded by Q rows on both ends so the slice start is always
         # in range (pl.ds silently clamps, which would corrupt the
@@ -58,13 +65,16 @@ def _kernel(tr_ref, q_ref, tlen_ref, qlen_ref, best_ref, end_ref,
         off = Q + T - 1 - d
         tslice = tr_ref[pl.ds(off, Q), :]            # [Q, B]
         cost = jnp.abs(tslice - q)
+        # subsequence free start: boundary column j-1 = 0 on every
+        # diagonal; min(prev, prev2) folded before the single shift
+        m = shift_down(jnp.minimum(prev, prev2), 0.0)
+        return cost + jnp.minimum(prev, m)
+
+    def body_general(d, state):
+        prev, prev2, best, besti = state
+        cur = step_core(d, prev, prev2)
         i_idx = d - row                               # target row per lane-row
         valid = (i_idx >= 0) & (i_idx < tlen)
-        # subsequence free start: column j-1 = 0 for every row
-        p1s = shift_down(prev, 0.0)
-        p2s = shift_down(prev2, 0.0)
-        # j=0: neighbors (i-1,-1)=0 handled by fill; (i-1,0)=prev[0]
-        cur = cost + jnp.minimum(jnp.minimum(prev, p1s), p2s)
         cur = jnp.where(valid, cur, BIG)
         # track last-column values: row j == qlen-1 per pair
         at_last = row == last_col
@@ -79,6 +89,19 @@ def _kernel(tr_ref, q_ref, tlen_ref, qlen_ref, best_ref, end_ref,
         besti = jnp.where(better, i_here, besti)
         return (cur, prev, best, besti)
 
+    def body_steady(d, state):
+        # uniform + Q-1 <= d < T: all Q rows valid, last column is the
+        # static row Q-1
+        prev, prev2, best, besti = state
+        cur = step_core(d, prev, prev2)
+        val = cur[Q - 1 : Q, :]
+        i_here = d - (Q - 1) + 1
+        better = val < best
+        best = jnp.where(better, val, best)
+        besti = jnp.where(better, jnp.full((1, B), i_here, jnp.int32),
+                          besti)
+        return (cur, prev, best, besti)
+
     # derive inits from data so their Mosaic layouts are concrete (constant
     # inits get replicated layouts and the loop carry fails to relayout)
     init = (
@@ -87,12 +110,17 @@ def _kernel(tr_ref, q_ref, tlen_ref, qlen_ref, best_ref, end_ref,
         qlen.astype(jnp.float32) * 0.0 + BIG,
         qlen * 0 - 1,
     )
-    _, _, best, besti = jax.lax.fori_loop(0, T + Q - 1, body, init)
+    if uniform and T > Q:
+        state = jax.lax.fori_loop(0, Q - 1, body_general, init)
+        state = jax.lax.fori_loop(Q - 1, T, body_steady, state)
+        state = jax.lax.fori_loop(T, T + Q - 1, body_general, state)
+    else:
+        state = jax.lax.fori_loop(0, T + Q - 1, body_general, init)
+    _, _, best, besti = state
     best_ref[0, :] = best[0, :]
     end_ref[0, :] = besti[0, :]
 
 
-@partial(jax.jit, static_argnames=("interpret",))
 def sdtw_pallas(
     targets: jax.Array,   # [B, T] f32
     t_len: jax.Array,     # [B] i32
@@ -101,7 +129,26 @@ def sdtw_pallas(
     interpret: bool = False,
 ):
     """Batched subsequence DTW; returns (best [B] f32, end_pos [B] i32,
-    1-based like the reference)."""
+    1-based like the reference).
+
+    Dispatches to a fast uniform-length kernel when every pair fills its
+    full [T]/[Q] buffers (the production verification shape)."""
+    uniform = bool(
+        np.all(np.asarray(t_len) == targets.shape[1])
+        and np.all(np.asarray(q_len) == queries.shape[1])
+    )
+    return _sdtw_jit(targets, t_len, queries, q_len, uniform, interpret)
+
+
+@partial(jax.jit, static_argnames=("uniform", "interpret"))
+def _sdtw_jit(
+    targets: jax.Array,
+    t_len: jax.Array,
+    queries: jax.Array,
+    q_len: jax.Array,
+    uniform: bool = False,
+    interpret: bool = False,
+):
     B, T = targets.shape
     Q = queries.shape[1]
     Bp = -(-B // LANES) * LANES
@@ -129,7 +176,7 @@ def sdtw_pallas(
         (rows, LANES), lambda g: (0, g), memory_space=pltpu.VMEM
     )
     best, end = pl.pallas_call(
-        partial(_kernel, T=T, Q=Q),
+        partial(_kernel, T=T, Q=Q, uniform=uniform),
         grid=(grid,),
         in_specs=[spec(T + 2 * Q), spec(Q), spec(1), spec(1)],
         out_specs=[spec(1), spec(1)],

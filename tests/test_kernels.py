@@ -51,3 +51,24 @@ def test_sdtw_kernel_matches_reference(rng):
     for b in range(B):
         assert abs(float(best[b]) - exp[b][0]) < 1e-3 * max(1, exp[b][0])
         assert int(end[b]) == exp[b][1]
+
+
+def test_sdtw_pallas_uniform_fast_path():
+    """Uniform t_len/q_len dispatches the steady-phase kernel; results
+    must equal the general path / numpy twin exactly."""
+    import numpy as np
+
+    from sigmap_tpu.ops.sdtw import sdtw_batch
+    from sigmap_tpu.ops.sdtw_kernel import sdtw_pallas
+
+    rng = np.random.default_rng(3)
+    B, T, Q = 5, 120, 48
+    ts = rng.normal(0, 1, (B, T)).astype(np.float32)
+    qs = rng.normal(0, 1, (B, Q)).astype(np.float32)
+    tl = np.full(B, T, np.int32)
+    ql = np.full(B, Q, np.int32)
+    b1, e1 = (np.asarray(x) for x in sdtw_pallas(ts, tl, qs, ql,
+                                                 interpret=True))
+    b2, e2 = (np.asarray(x) for x in sdtw_batch(ts, tl, qs, ql))
+    np.testing.assert_allclose(b1, b2, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(e1, e2)
