@@ -110,9 +110,29 @@ def bench_tpu(cfg, idx, signals, batch, engine="turbo"):
     run(signals[: min(batch, len(signals))])
     warmup_s = time.perf_counter() - t0
     log(f"tpu[{engine}]: warmup {warmup_s:.1f}s (+ upload {upload_s:.1f}s)")
+    trace_dir = getattr(bench_tpu, "_trace_dir", None)
+    if trace_dir:
+        # device+host timeline of the timed run (jax.profiler; the
+        # reference's analogue is its GetRealTime stderr phase logging,
+        # sigmap.cc:536,869 — see SURVEY.md §5)
+        import jax
+
+        try:
+            jax.profiler.start_trace(trace_dir)
+        except Exception as e:  # noqa: BLE001 - backend without profiling
+            log(f"jax.profiler unavailable: {e}")
+            trace_dir = None
     t0 = time.perf_counter()
     records = run(signals)
     dt = time.perf_counter() - t0
+    if trace_dir:
+        import jax
+
+        try:
+            jax.profiler.stop_trace()
+            log(f"jax.profiler trace written to {trace_dir}")
+        except Exception as e:  # noqa: BLE001
+            log(f"jax.profiler stop failed: {e}")
     return records, len(signals) / dt, dt, warmup_s, upload_s
 
 
@@ -140,23 +160,32 @@ def bench_cpu_baseline(cfg, idx, signals, threads=4, cap_reads=64, reps=3):
     return med, (rates[0], rates[-1]), len(subset)
 
 
-def bench_dtw(B=256, T=2048, Q=512, use_kernel=True):
+def bench_dtw(B=1024, T=2048, Q=512, use_kernel=True):
+    """Device-resident measurement: inputs live on device, `reps` calls
+    are dispatched back-to-back (async) and ONE tiny output fetch closes
+    the pipeline — per-call tunnel dispatch latency (~40-45 ms on axon)
+    and host->device re-upload otherwise dominate and undercount CUPS
+    ~20x at these shapes."""
+    import jax.numpy as jnp
+
     from sigmap_tpu.ops.sdtw import sdtw_batch
     from sigmap_tpu.ops.sdtw_kernel import sdtw_pallas
 
     rng = np.random.default_rng(0)
-    ts = rng.normal(0, 1, (B, T)).astype(np.float32)
-    qs = rng.normal(0, 1, (B, Q)).astype(np.float32)
+    ts = jnp.asarray(rng.normal(0, 1, (B, T)).astype(np.float32))
+    qs = jnp.asarray(rng.normal(0, 1, (B, Q)).astype(np.float32))
     tl = np.full(B, T, np.int32)
     ql = np.full(B, Q, np.int32)
     fn = sdtw_pallas if use_kernel else sdtw_batch
     out = fn(ts, tl, qs, ql)
     _ = tuple(np.asarray(o) for o in out)
-    reps = 3
+    reps = 10
     t0 = time.perf_counter()
+    acc = None
     for i in range(reps):
-        out = fn(ts + np.float32(i * 1e-6), tl, qs, ql)
-        _ = tuple(np.asarray(o) for o in out)
+        out = fn(ts, tl, qs, ql)
+        acc = out[0] if acc is None else acc + out[0]
+    _ = np.asarray(acc)          # one fetch drains the whole pipeline
     dt = (time.perf_counter() - t0) / reps
     return B * T * Q / dt
 
@@ -182,11 +211,11 @@ def bench_vpu_elementwise():
 
     x = jnp.ones((N,), jnp.float32)
     np.asarray(f(x).ravel()[:1])
-    reps = 5
+    reps = 20
     t0 = time.perf_counter()
     for _ in range(reps):
         x = f(x)
-    np.asarray(x.ravel()[:1])
+    np.asarray(x.ravel()[:1])   # one fetch drains the async pipeline
     dt = (time.perf_counter() - t0) / reps
     return N * CHAIN * 2 / dt   # 2 ops per FMA
 
@@ -215,6 +244,10 @@ def main():
                          "(used by the warmup2 subprocess measurement)")
     ap.add_argument("--no-warmup2", action="store_true",
                     help="skip the second-process warm-cache measurement")
+    ap.add_argument("--trace", type=str, default=None,
+                    help="write a jax.profiler trace of the timed mapping "
+                         "run to this directory (view with tensorboard / "
+                         "xprof)")
     args = ap.parse_args()
     from sigmap_tpu.utils import enable_compilation_cache
 
@@ -238,6 +271,7 @@ def main():
         genome_mb, n_reads, args.read_bases, threads=args.threads
     )
 
+    bench_tpu._trace_dir = args.trace
     records, tpu_rps, tpu_dt, warmup_s, upload_s = bench_tpu(
         cfg, idx, signals, batch, engine=args.engine
     )

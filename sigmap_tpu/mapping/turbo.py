@@ -630,12 +630,24 @@ class TurboMapper:
         except Exception:  # noqa: BLE001 - interpreter teardown
             pass
 
+    # cross-batch prefetch overlap; DISABLED in multi-process mode, where
+    # the prefetch thread's global-jit dispatches (upload + batch_features)
+    # would interleave nondeterministically with the main thread's round
+    # dispatches — multi-process JAX requires every process to enqueue the
+    # same global computations in the same order (observed: gloo size
+    # mismatch crash in the 2-process scaling run)
+    _overlap_batches = True
+
     def streaming_map(self, signals: list[ReadSignal]) -> list[PAFRecord]:
         records: dict[int, PAFRecord] = {}
         B = self.cfg.runtime.read_batch
         bases = list(range(0, len(signals), B))
         if not bases:
             return []
+        if not self._overlap_batches:
+            for base in bases:
+                self._map_batch(signals[base : base + B], base, records)
+            return self._drain_rescues(records, len(signals))
         # batch N+1's quantization + upload + event precompute ride the
         # uploader thread while batch N's rounds run (cross-batch overlap)
         fut = self._uploader.submit(
@@ -649,6 +661,9 @@ class TurboMapper:
                     self._prepare_batch, signals[nxt : nxt + B]
                 )
             self._map_batch(signals[base : base + B], base, records, prep)
+        return self._drain_rescues(records, len(signals))
+
+    def _drain_rescues(self, records: dict, n: int) -> list[PAFRecord]:
         if self._rescue_futs:
             import sys
 
@@ -664,7 +679,7 @@ class TurboMapper:
                 file=sys.stderr,
             )
             self._rescue_futs = []
-        return [records[i] for i in range(len(signals)) if i in records]
+        return [records[i] for i in range(n) if i in records]
 
     # ------------------------------------------------------------------ --
 

@@ -14,6 +14,20 @@ the last query column, 1-based end position like the reference).
 
 Throughput: ~(T+Q) diagonal steps of [Q, B] vector work for B pairs -
 B*T*Q cell updates in O(T+Q) steps.
+
+Roofline (measured on v5e, B=1024 T=2048 Q=512, device-resident inputs
+with a pipelined fetch — per-call axon dispatch latency ~40-45 ms and
+host re-uploads otherwise undercount CUPS ~10x): 20.9 G CUPS = 55% of
+the 38 G cells/s VPU ceiling at the 6-op cell model (abs-diff 2, mins 2,
+add 1, select 1).  The gap IS the op model: the real recurrence spends
+~10-11 VPU ops/cell once the sliding target-window advance (roll +
+insert), the boundary-fill roll for prev[j-1]/prev2[j-1], and the
+steady-phase best/end tracking are counted, so the kernel is
+VPU-op-bound, not bandwidth- or latency-bound.  The two earlier 7x
+losses were (1) a per-diagonal dynamic-start sublane slice of the
+target buffer (~50 us/diagonal) and (2) per-diagonal [Q, B] masked
+reductions for last-column extraction — both eliminated (carried
+sliding window; static last-row slice in the uniform path).
 """
 
 from __future__ import annotations
@@ -54,25 +68,27 @@ def _kernel(tr_ref, q_ref, tlen_ref, qlen_ref, best_ref, end_ref,
         # [1,B] row with a [Q-1,B] strided slice crashes Mosaic's
         # vector_extract_strided_slice)
         rolled = pltpu.roll(x, shift=1, axis=0)
-        fill_arr = jnp.full((Q, B), fill, x.dtype)
-        return jnp.where(row == 0, fill_arr, rolled)
+        return jnp.where(row == 0, fill, rolled)
 
-    def step_core(d, prev, prev2):
-        # cost[j] = |target[d-j] - q[j]| = |tr_ext[Q + T-1-d+j] - q[j]|;
-        # tr is padded by Q rows on both ends so the slice start is always
-        # in range (pl.ds silently clamps, which would corrupt the
-        # first/last Q-1 diagonals)
-        off = Q + T - 1 - d
-        tslice = tr_ref[pl.ds(off, Q), :]            # [Q, B]
-        cost = jnp.abs(tslice - q)
+    def step_core(d, tw, prev, prev2):
+        # cost[j] = |target[d-j] - q[j]|; the target window rides a
+        # CARRIED sliding buffer tw[j] = tr[Q+T-1-d + j], advanced one
+        # row per diagonal (roll + single-row insert).  A per-diagonal
+        # dynamic-start sublane slice tr_ref[pl.ds(off, Q)] measured
+        # ~50 us/diagonal — ~50x the cost of the DP's own vector work —
+        # and dominated the kernel at 2.3 G CUPS.
+        newrow = tr_ref[pl.ds(Q + T - 1 - d, 1), :]  # [1, B]
+        tw = shift_down(tw, 0.0)
+        tw = jnp.where(row == 0, newrow, tw)
+        cost = jnp.abs(tw - q)
         # subsequence free start: boundary column j-1 = 0 on every
         # diagonal; min(prev, prev2) folded before the single shift
         m = shift_down(jnp.minimum(prev, prev2), 0.0)
-        return cost + jnp.minimum(prev, m)
+        return tw, cost + jnp.minimum(prev, m)
 
     def body_general(d, state):
-        prev, prev2, best, besti = state
-        cur = step_core(d, prev, prev2)
+        tw, prev, prev2, best, besti = state
+        tw, cur = step_core(d, tw, prev, prev2)
         i_idx = d - row                               # target row per lane-row
         valid = (i_idx >= 0) & (i_idx < tlen)
         cur = jnp.where(valid, cur, BIG)
@@ -87,36 +103,42 @@ def _kernel(tr_ref, q_ref, tlen_ref, qlen_ref, best_ref, end_ref,
         better = val < best
         best = jnp.where(better, val, best)
         besti = jnp.where(better, i_here, besti)
-        return (cur, prev, best, besti)
+        return (tw, cur, prev, best, besti)
 
     def body_steady(d, state):
         # uniform + Q-1 <= d < T: all Q rows valid, last column is the
         # static row Q-1
-        prev, prev2, best, besti = state
-        cur = step_core(d, prev, prev2)
+        tw, prev, prev2, best, besti = state
+        tw, cur = step_core(d, prev2=prev2, prev=prev, tw=tw)
         val = cur[Q - 1 : Q, :]
         i_here = d - (Q - 1) + 1
         better = val < best
         best = jnp.where(better, val, best)
         besti = jnp.where(better, jnp.full((1, B), i_here, jnp.int32),
                           besti)
-        return (cur, prev, best, besti)
+        return (tw, cur, prev, best, besti)
 
-    # derive inits from data so their Mosaic layouts are concrete (constant
-    # inits get replicated layouts and the loop carry fails to relayout)
+    # initial window for d=0: tw[j] = tr[Q + T - 1 + j] (static slice);
+    # derive other inits from data so their Mosaic layouts are concrete
+    # (constant inits get replicated layouts and the loop carry fails to
+    # relayout)
     init = (
+        tr_ref[Q + T : Q + T + Q, :],          # tw = the d=-1 window
         q * 0.0 + BIG,                        # prev (d-1)
         q * 0.0 + BIG,                        # prev2 (d-2)
         qlen.astype(jnp.float32) * 0.0 + BIG,
         qlen * 0 - 1,
     )
+    # NOTE step_core advances tw for diagonal d by inserting row
+    # Q+T-1-d, so the init buffer is the d=-1 window and the first
+    # advance lands exactly on d=0
     if uniform and T > Q:
         state = jax.lax.fori_loop(0, Q - 1, body_general, init)
         state = jax.lax.fori_loop(Q - 1, T, body_steady, state)
         state = jax.lax.fori_loop(T, T + Q - 1, body_general, state)
     else:
         state = jax.lax.fori_loop(0, T + Q - 1, body_general, init)
-    _, _, best, besti = state
+    _, _, _, best, besti = state
     best_ref[0, :] = best[0, :]
     end_ref[0, :] = besti[0, :]
 

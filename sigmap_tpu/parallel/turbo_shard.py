@@ -210,12 +210,15 @@ class TurboShardMapper(TurboMapper):
         if jax.process_count() > 1:
             # multi-host: data-sharded rows live on remote processes; pull
             # them with a tiled allgather (the cross-host analogue of the
-            # reference's thread-buffer merge, sigmap.cc:217-241)
+            # reference's thread-buffer merge, sigmap.cc:217-241).  The
+            # prefetch-thread batch overlap is disabled: every process
+            # must enqueue global computations in the same order.
             from jax.experimental import multihost_utils
 
             self._fetch = lambda x: np.asarray(
                 multihost_utils.process_allgather(x, tiled=True)
             )
+            self._overlap_batches = False
 
     # --- hooks used by TurboMapper._map_batch ---------------------------
 

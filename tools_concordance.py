@@ -142,7 +142,10 @@ def main():
     enable_compilation_cache()
     cfg = SigmapConfig()
     cfg = dataclasses.replace(
-        cfg, runtime=dataclasses.replace(cfg.runtime, read_batch=args.batch)
+        cfg, runtime=dataclasses.replace(
+            cfg.runtime, read_batch=args.batch, num_threads=4,
+            sweep_cache_dir="/root/.cache/sigmap_tpu_sweep",
+        )
     )
     pore = make_synthetic_pore_model(k=6, seed=0)
     genome = random_genome(int(args.genome_mb * 1e6), seed=1)
@@ -227,6 +230,15 @@ def main():
         "n_reads": n,
         "turbo_k": (params.K if params else TurboParams().K),
         "slack_bp": args.slack,
+        # environment: turbo throughput here is only meaningful on the
+        # TPU backend (interpret-mode Pallas on CPU is ~100x slower and
+        # NOT the production operating point)
+        "environment": {
+            "jax_backend": jax.default_backend(),
+            "device": str(jax.devices()[0]),
+            "turbo_interpret_mode": on_cpu,
+            "exact_engine": args.exact_engine,
+        },
         "both_mapped": both_mapped,
         "both_unmapped": both_unmapped,
         "decision_disagree": decision_diff,

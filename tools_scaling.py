@@ -7,8 +7,9 @@ produces the honest CPU-mesh proxy: the SAME fixed workload mapped by the
 sharded turbo engine (jax.distributed, the production multi-host path of
 tests/multihost_worker.py) at
 
-  * 1 process pinned to 1 host core   (taskset -c 0)
-  * 2 processes pinned to 1 core each (taskset -c 0 / -c 1)
+  * 1 process pinned to 1 host core   (sched_setaffinity, timed phase)
+  * 2 processes pinned to 1 core each (timed phase only: whole-process
+    pinning starves the jax.distributed heartbeat during compiles)
 
 so each process adds real compute, the way each host would in a pod.
 Strong-scaling efficiency = T1 / (T2 * 2) ... except the workload is
@@ -73,9 +74,17 @@ mesh = Mesh(np.array(jax.devices()).reshape(2 * nprocs, 1), ("data", "index"))
 p = TurboParams(S=256, K=32, RING=64, TILE=256, peaks_impl="scan")
 tm = TurboShardMapper(idx, cfg, mesh, p)
 recs = tm.streaming_map(signals[:batch])          # warmup (compile)
+# pin ONLY the timed phase to this rank's core: pinning the whole
+# process starves the jax.distributed heartbeat during the minutes-long
+# single-core compile and kills the cohort
+if nprocs > 1:
+    os.sched_setaffinity(0, {rank %% os.cpu_count()})
+else:
+    os.sched_setaffinity(0, {0})
 t0 = time.perf_counter()
 records = tm.streaming_map(signals)
 elapsed = time.perf_counter() - t0
+os.sched_setaffinity(0, set(range(os.cpu_count())))
 n_mapped = sum(r.is_mapped for r in records)
 print(f"SCALEOUT rank={rank} nprocs={nprocs} elapsed={elapsed:.3f} "
       f"mapped={n_mapped}/{len(records)}", flush=True)
@@ -99,7 +108,7 @@ def run_config(nprocs: int, reads: int, genome_kb: int, batch: int) -> dict:
         f.write(WORKER % {"here": HERE})
     procs = []
     for rank in range(nprocs):
-        cmd = ["taskset", "-c", str(rank), sys.executable, wpath,
+        cmd = [sys.executable, wpath,
                str(rank), str(nprocs), coord, str(reads), str(genome_kb),
                str(batch)]
         procs.append(subprocess.Popen(
@@ -138,8 +147,9 @@ def main():
         "efficiency": round(eff, 3),
         "config": {"reads": args.reads, "genome_kb": args.genome_kb,
                    "batch": args.batch,
-                   "note": "fixed workload, 1 core per process (taskset), "
-                           "jax.distributed CPU mesh proxy for 2 hosts"},
+                   "note": "fixed workload, 1 core per process (timed phase "
+                           "affinity), jax.distributed CPU mesh proxy "
+                           "for 2 hosts"},
         "t1_s": round(r1["elapsed_s"], 3),
         "t2_s": round(r2["elapsed_s"], 3),
         "mapped_1p": r1["mapped"],
