@@ -264,7 +264,11 @@ def turbo_round_body(
     )
     new_done = done | (~active) | stop | exhausted
     new_stopped = stopped | stop
-    new_chunk_idx = chunk_idx + active.astype(jnp.int32)
+    # the reference's stop `break` happens BEFORE the loop increment, so a
+    # stopped read's chunk_index stays AT the stopping chunk
+    # (sigmap.cc:647-689); incrementing stopped reads too made every
+    # streamed ci: tag one chunk late vs the exact engine
+    new_chunk_idx = chunk_idx + (active & ~stop).astype(jnp.int32)
 
     # carry survives across chunks only for still-running reads; for done
     # reads its content no longer matters (kept as-is)

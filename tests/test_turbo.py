@@ -112,7 +112,9 @@ def test_turbo_rescue_recovers_truncation(workload):
     )
     signals = signals[:32]
     reads = reads[:32]
-    base = dict(S=64, K=2, RING=64, TILE=256, peaks_impl="scan")
+    # S=16/K=1: seed AND match truncation both bite (closest-K made K=2
+    # at full S strong enough to map everything here)
+    base = dict(S=16, K=1, RING=64, TILE=256, peaks_impl="scan")
     no_rescue = TurboMapper(
         idx, cfg, TurboParams(rescue=False, **base)
     ).streaming_map(signals)

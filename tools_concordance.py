@@ -170,8 +170,10 @@ def main():
         params = TurboParams(
             K=args.k or 8, peaks_impl="scan" if on_cpu else "pallas"
         )
+    tm = TurboMapper(idx, cfg, params)
+    tm.streaming_map(signals[: min(64, len(signals))])   # warmup (compile)
     t0 = time.perf_counter()
-    turbo = TurboMapper(idx, cfg, params).streaming_map(signals)
+    turbo = tm.streaming_map(signals)
     t_turbo = time.perf_counter() - t0
     log(f"turbo: {t_turbo:.1f}s ({len(signals)/t_turbo:.1f} reads/s)")
 
