@@ -316,7 +316,7 @@ def main():
              "--genome-mb", str(genome_mb), "--batch", str(batch),
              "--read-bases", str(args.read_bases),
              "--engine", args.engine, "--threads", str(args.threads)],
-            capture_output=True, text=True, timeout=3600,
+            capture_output=True, text=True, timeout=1500,
         )
         try:
             j = json.loads(r.stdout.strip().splitlines()[-1])

@@ -115,6 +115,8 @@ def main():
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--k", type=int, default=None,
                     help="TurboParams.K override")
+    ap.add_argument("--ring", type=int, default=None,
+                    help="TurboParams.RING override")
     ap.add_argument("--slack", type=int, default=500)
     ap.add_argument("--out", default="PARITY_TURBO.json")
     ap.add_argument("--exact-engine", choices=["oracle", "device"],
@@ -166,9 +168,11 @@ def main():
 
     on_cpu = jax.default_backend() == "cpu"
     params = None
-    if args.k is not None or on_cpu:
+    if args.k is not None or args.ring is not None or on_cpu:
+        dflt = TurboParams()
         params = TurboParams(
-            K=args.k or 8, peaks_impl="scan" if on_cpu else "pallas"
+            K=args.k or dflt.K, RING=args.ring or dflt.RING,
+            peaks_impl="scan" if on_cpu else "pallas",
         )
     tm = TurboMapper(idx, cfg, params)
     tm.streaming_map(signals[: min(64, len(signals))])   # warmup (compile)
