@@ -119,6 +119,8 @@ def main():
                     help="TurboParams.RING override")
     ap.add_argument("--slack", type=int, default=500)
     ap.add_argument("--out", default="PARITY_TURBO.json")
+    ap.add_argument("--dump", default=None,
+                    help="per-read CSV (locus delta, ci both engines)")
     ap.add_argument("--exact-engine", choices=["oracle", "device"],
                     default="oracle",
                     help="oracle = native k-d tree + host chains (truly "
@@ -204,6 +206,7 @@ def main():
     both_mapped = both_unmapped = decision_diff = 0
     locus_agree = 0
     mapq_d, ci_d = [], []
+    rows = []
     for r in reads:
         a = tb.get(r.read_id)
         b = ex.get(r.read_id)
@@ -222,10 +225,18 @@ def main():
             )
             locus_agree += int(same)
             mapq_d.append(abs(a.mapq - b.mapq))
+            rows.append((r.read_id, int(same),
+                         abs(a.fragment_start - b.fragment_start),
+                         ca, cb))
         elif not a.is_mapped and not b.is_mapped:
             both_unmapped += 1
         else:
             decision_diff += 1
+    if args.dump:
+        with open(args.dump, "w") as f:
+            f.write("read,locus_same,tstart_delta,ci_turbo,ci_exact\n")
+            for row in rows:
+                f.write(",".join(str(x) for x in row) + "\n")
 
     buf = io.StringIO()
     res_t = evaluate_against_truth(turbo, reads, out=buf)
