@@ -73,7 +73,7 @@ def seed_cell_bounds(qr: jax.Array, radius: float, w: float, origin,
 
 @partial(jax.jit, static_argnames=("K", "TILE", "radius", "dim",
                                   "block", "radixes", "span", "cell_width",
-                                  "interpret"))
+                                  "interpret", "nwave"))
 def sweep_round(
     seeds: jax.Array,     # [Q, 8] f32 RAW coords (invalid seeds = SEED_PAD)
     cum: jax.Array,       # [prod(radixes)+1] i32 cumulative cell table
@@ -91,6 +91,7 @@ def sweep_round(
     span: int = 3,
     cell_width: float = 0.2828427,
     interpret: bool = False,
+    nwave: int = 3,
 ):
     """Full radius search for one round's seeds, in ORIGINAL seed order.
 
@@ -190,7 +191,7 @@ def sweep_round(
             jax.lax.slice_in_dim(blockmeta, g0, g0 + MAXG, axis=1),
             tiles, meta,
             radius=radius, K=K, TILE=TILE, dim=dim, block=block,
-            interpret=interpret,
+            interpret=interpret, nwave=nwave,
         ))
     if len(parts) == 1:
         m_meta, m_d2, m_cnt = parts[0]

@@ -29,15 +29,18 @@ transfers, host round-trips):
   sees only a [B] done vector per round, so the whole multi-chunk loop
   costs one tiny download per round.
 
-Semantic divergences from the exact path: ring-band chaining instead of the full
-5000 band; two-chain selection (best + best non-overlapping) instead of
-<=3 traceback chains, so the mean-score stop rule degenerates to
-(s1+s2)/2; carry-forward keeps the chain frontier (last RING anchor
+Semantic divergences from the exact path: ring-band chaining (RING
+anchors) instead of the full 5000 band; THREE-chain selection with the
+reference's primary-chain candidacy gates (min score, score > max/2,
+the /3 break — spatial_index.cc:230-247,545-546) instead of traceback
+enumeration; carry-forward keeps the chain frontier (last RING anchor
 states) rather than all member anchors of the best chains; per-seed
-matches cap at K (reference: 5000, spatial_index.cc:290) with truncation
-observable via the overflow flag; emitted query bounds/tag statistics are
-reconstructed from the best chain's inherited state.  Concordance vs the
-exact path is measured in tests/test_turbo.py and reported in PARITY.md.
+matches cap at the K CLOSEST by d^2 (reference: first 5000 in tree
+order, spatial_index.cc:290), with per-read overflow tracked and
+unmapped+overflow reads re-mapped by the exact engine (rescue); emitted
+query bounds/tag statistics are reconstructed from the best chain's
+inherited state.  Concordance vs the exact path is measured in
+tests/test_turbo.py and reported in PARITY.md / PARITY_TURBO.json.
 """
 
 from __future__ import annotations
@@ -81,6 +84,11 @@ class TurboParams:
     max_events: int = 1024
     max_features: int = 1024
     block: int = 32       # sweep seed-block
+    # 1 straight-line drain wave + the residual while-loop measured
+    # fastest (12 Mb, B=2048: 133 vs 111 reads/s at nwave=3): with the
+    # closest-K tau gate most triggered tiles carry few improving
+    # candidates and extra unconditional waves are wasted vector work
+    nwave: int = 1
     peaks_impl: str = "pallas"   # "scan" on CPU
     # Capacity policy: per-read overflow (matches past K or seeds past S)
     # is tracked on device; reads that finish UNMAPPED with overflow are
@@ -188,7 +196,7 @@ def turbo_round_body(
         seeds.reshape(B * S, 8), cum, tiles, meta, rot, mu, origin,
         radius=radius, K=K, TILE=p.TILE, dim=dim, block=p.block,
         radixes=radixes, span=span, cell_width=cell_width,
-        interpret=interpret,
+        interpret=interpret, nwave=p.nwave,
     )
     if merge_matches is not None:
         m_meta, m_d2, cnt, wrote = merge_matches(m_meta, m_d2, cnt, wrote)

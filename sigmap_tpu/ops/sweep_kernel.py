@@ -52,7 +52,7 @@ def _kernel(
     out_d2_ref,    # [BLOCK, K] f32
     out_cnt_ref,   # [BLOCK, 2] i32 (total matches, written slots)
     wbuf, mbuf, dbuf, wscr, sem, msem,
-    *, radius, K, TILE, dim, block, n_offsets,
+    *, radius, K, TILE, dim, block, n_offsets, nwave,
 ):
     g = pl.program_id(0)
     BLOCK = block
@@ -135,7 +135,7 @@ def _kernel(
         # the common case; a residual while-loop finishes deep tiles
         # (while-loop carries a SCALAR: Mosaic can't legalize vector
         # carries here).
-        NWAVE = 3
+        NWAVE = nwave
 
         def tau():
             full = wscr[...] >= K
@@ -231,7 +231,7 @@ def _kernel(
 
 
 @partial(jax.jit, static_argnames=("K", "TILE", "radius", "dim",
-                                  "block", "interpret"))
+                                  "block", "interpret", "nwave"))
 def sweep_search(
     seeds: jax.Array,      # [Q, 8] f32, Q multiple of BLOCK, cell-key SORTED
     blockmeta: jax.Array,  # [2*NO+1, Q//BLOCK] i32: rows 0..NO-1 first tile
@@ -244,6 +244,7 @@ def sweep_search(
     dim: int = 6,
     block: int = BLOCK,
     interpret: bool = False,
+    nwave: int = 3,
 ):
     """Returns (m_meta [Q, K] i32, m_d2 [Q, K] f32, m_cnt [Q, 2] i32).
 
@@ -281,7 +282,7 @@ def sweep_search(
     )
     return pl.pallas_call(
         partial(_kernel, radius=radius, K=K, TILE=TILE, dim=dim,
-                block=block, n_offsets=n_offsets),
+                block=block, n_offsets=n_offsets, nwave=nwave),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((Q, K), jnp.int32),
